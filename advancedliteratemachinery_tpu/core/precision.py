@@ -1,0 +1,43 @@
+"""Dtype policy.
+
+TPU-first precision: parameters in float32, compute in bfloat16, outputs
+(logits / losses) in float32. Replaces the reference's mix of
+torch.cuda.amp GradScaler (OmniParser engine/train.py:8), apex O2
+(VLPT-STD main.py:114) and Lightning precision=16 (GeoLayoutLM train.py:31):
+bf16 on TPU needs no loss scaling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Policy:
+    param_dtype: Any = jnp.float32
+    compute_dtype: Any = jnp.bfloat16
+    output_dtype: Any = jnp.float32
+
+    def cast_to_compute(self, tree):
+        return jax.tree.map(
+            lambda x: x.astype(self.compute_dtype)
+            if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
+    def cast_to_output(self, tree):
+        return jax.tree.map(
+            lambda x: x.astype(self.output_dtype)
+            if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
+
+DEFAULT_POLICY = Policy()
+FP32_POLICY = Policy(compute_dtype=jnp.float32)

@@ -1,0 +1,100 @@
+"""Batched inference engine.
+
+One jitted graph per (model, batch-shape): on-device preprocessing → forward
+→ greedy decode + confidence, so the host only moves uint8 crops in and tiny
+id/score tensors out. This replaces the reference's per-image python eval
+loops (MGP-STR test_final.py:114 validation; LISTER test.py:23).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from advancedliteratemachinery_tpu.codecs.char_codec import CharCodec
+from advancedliteratemachinery_tpu.ops.image import normalize_crops
+
+
+class MGPSTRInference:
+    """Greedy multi-granularity inference for MGP-STR.
+
+    Device-side: forward, per-head argmax + cumulative-confidence
+    (test_final.py:176-200). Host-side: id→string decode + fused selection
+    (the string comparison part of fusion is inherently host work).
+    """
+
+    def __init__(self, model, params, codec: CharCodec,
+                 bpe_codec=None, wp_codec=None, input_dtype=jnp.bfloat16):
+        self.model = model
+        self.params = params
+        self.codec = codec
+        self.bpe_codec = bpe_codec
+        self.wp_codec = wp_codec
+        self.input_dtype = input_dtype
+        cfg = model.config
+        true_vocab = {"char": cfg.num_char_classes, "bpe": cfg.bpe_vocab_size,
+                      "wp": cfg.wp_vocab_size}
+
+        @jax.jit
+        def _run(params, images_u8):
+            x = normalize_crops(images_u8, dtype=input_dtype)
+            out = model.apply({"params": params}, x, deterministic=True)
+            res = {}
+            for head in ("char", "bpe", "wp"):
+                ids, conf = self._head_decode(out[head], head, true_vocab[head])
+                res[f"{head}_ids"] = ids
+                res[f"{head}_conf"] = conf
+            return res
+
+        self._run = _run
+
+    @staticmethod
+    def _head_decode(logits: jnp.ndarray, head: str, true_vocab: int
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Greedy ids (positions 1:) + cumulative max-prob confidence up to the
+        head's EOS id (char: 1, bpe: 2, wp: 102). Vocab-padding columns
+        (>= true_vocab) are masked out."""
+        eos_id = {"char": 1, "bpe": 2, "wp": 102}[head]
+        if logits.shape[-1] > true_vocab:
+            neg = jnp.finfo(jnp.float32).min
+            pad_mask = jnp.arange(logits.shape[-1]) >= true_vocab
+            logits = jnp.where(pad_mask, neg, logits.astype(jnp.float32))
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1:, :]
+        pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        pmax = jnp.max(probs, axis=-1)
+        is_eos = pred == eos_id
+        any_eos = jnp.any(is_eos, axis=1)
+        eos_pos = jnp.argmax(is_eos, axis=1)
+        pos = jnp.arange(pred.shape[1])[None, :]
+        conf = jnp.prod(jnp.where(pos <= eos_pos[:, None], pmax, 1.0), axis=1)
+        return pred, jnp.where(any_eos, conf, 0.0)
+
+    def __call__(self, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
+        """images_u8: [B, 32, 128, 3] uint8 → dict of np arrays."""
+        out = self._run(self.params, jnp.asarray(images_u8))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def recognize(self, images_u8: np.ndarray):
+        """Full fused recognition → list of (text, confidence, head)."""
+        out = self(images_u8)
+        char_strs = self.codec.decode(out["char_ids"])
+        results = []
+        B = len(char_strs)
+        bpe_strs = (self.bpe_codec.decode(out["bpe_ids"]) if self.bpe_codec
+                    else [None] * B)
+        wp_strs = [None] * B
+        if self.wp_codec:
+            raw = self.wp_codec.decode(out["wp_ids"])
+            wp_strs = [s.split("[SEP]")[0] for s in raw]
+        for i in range(B):
+            cands = [(char_strs[i].split("[s]")[0], float(out["char_conf"][i]), "char")]
+            if bpe_strs[i] is not None:
+                cands.append((bpe_strs[i], float(out["bpe_conf"][i]), "bpe"))
+            if wp_strs[i] is not None:
+                cands.append((wp_strs[i], float(out["wp_conf"][i]), "wp"))
+            results.append(max(cands, key=lambda c: c[1]))
+        return results
