@@ -1,0 +1,309 @@
+"""DLA (Deep Layer Aggregation) backbone with deformable upsampling.
+
+Behavioral parity target: LORE-TSR's pose_dla_dcn
+(reference: DocumentUnderstanding/LORE-TSR/src/lib/models/networks/
+pose_dla_dcn.py — BasicBlock :31, Root :147, Tree :168, DLA :224,
+dla34 :310 [levels 1,1,1,2,2,1; channels 16,32,64,128,256,512],
+DeformConv :345, IDAUp :361, DLAUp :390, DLASeg :428).
+
+TPU-first notes: NHWC; BatchNorm carries running stats in a `batch_stats`
+collection; the transposed-conv upsample is initialized to (and kept as)
+bilinear weights like the reference's fill_up_weights; the deformable convs
+use the XLA gather + MXU matmul op from ops/deform_conv.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from advancedliteratemachinery_tpu.core.config import ConfigBase
+from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
+from advancedliteratemachinery_tpu.ops.deform_conv import DeformConv2d
+
+BN_MOMENTUM = 0.9  # flax momentum = 1 - torch momentum (torch 0.1)
+
+
+class ConvBnRelu(nn.Module):
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    dilation: int = 1
+    relu: bool = True
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.policy
+        x = nn.Conv(self.features, self.kernel_size, self.strides,
+                    padding=[(d * (k // 2), d * (k // 2)) for k, d in
+                             zip(self.kernel_size, (self.dilation, self.dilation))],
+                    kernel_dilation=(self.dilation, self.dilation), use_bias=False,
+                    dtype=p.compute_dtype, param_dtype=p.param_dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         dtype=jnp.float32, param_dtype=p.param_dtype, name="bn")(x)
+        return nn.relu(x).astype(p.compute_dtype) if self.relu else x.astype(p.compute_dtype)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        out = ConvBnRelu(self.planes, (3, 3), (self.stride, self.stride),
+                         self.dilation, policy=self.policy, name="conv1")(x, train)
+        out = ConvBnRelu(self.planes, (3, 3), (1, 1), self.dilation, relu=False,
+                         policy=self.policy, name="conv2")(out, train)
+        return nn.relu(out + residual)
+
+
+class Root(nn.Module):
+    features: int
+    residual: bool
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, *children, train: bool = False):
+        x = jnp.concatenate(children, axis=-1)
+        x = ConvBnRelu(self.features, (1, 1), relu=False, policy=self.policy,
+                       name="conv")(x, train)
+        if self.residual:
+            x = x + children[0]
+        return nn.relu(x)
+
+
+class Tree(nn.Module):
+    levels: int
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    level_root: bool = False
+    root_dim: int = 0
+    root_residual: bool = False
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, residual=None, children=None, train: bool = False):
+        root_dim = self.root_dim or 2 * self.out_channels
+        if self.level_root:
+            root_dim += self.in_channels
+        children = list(children) if children else []
+
+        if self.stride > 1:
+            bottom = nn.max_pool(x, (self.stride, self.stride),
+                                 (self.stride, self.stride))
+        else:
+            bottom = x
+        if self.in_channels != self.out_channels:
+            project = ConvBnRelu(self.out_channels, (1, 1), relu=False,
+                                 policy=self.policy, name="project")(bottom, train)
+        else:
+            project = bottom
+        if self.level_root:
+            children.append(bottom)
+
+        if self.levels == 1:
+            x1 = BasicBlock(self.out_channels, self.stride, policy=self.policy,
+                            name="tree1")(x, residual=project, train=train)
+            x2 = BasicBlock(self.out_channels, 1, policy=self.policy,
+                            name="tree2")(x1, train=train)
+            return Root(self.out_channels, self.root_residual, policy=self.policy,
+                        name="root")(x2, x1, *children, train=train)
+        x1 = Tree(self.levels - 1, self.in_channels, self.out_channels, self.stride,
+                  root_residual=self.root_residual, policy=self.policy,
+                  name="tree1")(x, residual=project, train=train)
+        children.append(x1)
+        return Tree(self.levels - 1, self.out_channels, self.out_channels, 1,
+                    root_dim=root_dim + self.out_channels,
+                    root_residual=self.root_residual, policy=self.policy,
+                    name="tree2")(x1, children=children, train=train)
+
+
+@dataclasses.dataclass(frozen=True)
+class DLAConfig(ConfigBase):
+    levels: Tuple[int, ...] = (1, 1, 1, 2, 2, 1)
+    channels: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)
+    in_chans: int = 3
+
+
+class DLA(nn.Module):
+    """dla34 trunk: 6 pyramid levels, strides 1..32 (pose_dla_dcn.py:224)."""
+
+    config: DLAConfig = DLAConfig()
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        ch = cfg.channels
+        x = ConvBnRelu(ch[0], (7, 7), policy=self.policy, name="base_layer")(x, train)
+        y = []
+        # level0: one conv block; level1: conv stride 2
+        x = ConvBnRelu(ch[0], (3, 3), policy=self.policy, name="level0")(x, train)
+        y.append(x)
+        x = ConvBnRelu(ch[1], (3, 3), (2, 2), policy=self.policy, name="level1")(x, train)
+        y.append(x)
+        x = Tree(cfg.levels[2], ch[1], ch[2], 2, level_root=False,
+                 policy=self.policy, name="level2")(x, train=train)
+        y.append(x)
+        x = Tree(cfg.levels[3], ch[2], ch[3], 2, level_root=True,
+                 policy=self.policy, name="level3")(x, train=train)
+        y.append(x)
+        x = Tree(cfg.levels[4], ch[3], ch[4], 2, level_root=True,
+                 policy=self.policy, name="level4")(x, train=train)
+        y.append(x)
+        x = Tree(cfg.levels[5], ch[4], ch[5], 2, level_root=True,
+                 policy=self.policy, name="level5")(x, train=train)
+        y.append(x)
+        return y
+
+
+def _bilinear_upsample_kernel(f: int, ch: int, dtype) -> jnp.ndarray:
+    """fill_up_weights (pose_dla_dcn.py:333): bilinear transposed-conv kernel
+    [kh, kw, 1, ch] for grouped (depthwise) transpose conv."""
+    k = f * 2
+    c = (2 * (k // 2) - 1 - (k // 2) % 2) / (2.0 * (k // 2))
+    w = np.zeros((k, k), np.float32)
+    for i in range(k):
+        for j in range(k):
+            w[i, j] = (1 - abs(i / (k // 2) - c)) * (1 - abs(j / (k // 2) - c))
+    return jnp.asarray(np.tile(w[:, :, None, None], (1, 1, 1, ch)), dtype)
+
+
+class UpsampleBilinear(nn.Module):
+    """Depthwise 2x-per-factor transposed conv with fixed bilinear weights
+    (reference keeps these trainable but initialized bilinear; we keep them
+    fixed — an exact bilinear resize XLA can fuse)."""
+
+    factor: int
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        B, H, W, C = x.shape
+        f = self.factor
+        if f == 1:
+            return x
+        return jax.image.resize(x, (B, H * f, W * f, C), method="bilinear")
+
+
+class DeformUpBlock(nn.Module):
+    """DeformConv + BN + ReLU (pose_dla_dcn.py:345 DeformConv)."""
+
+    features: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = DeformConv2d(self.features, policy=self.policy, name="dcn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         dtype=jnp.float32, param_dtype=self.policy.param_dtype,
+                         name="bn")(x)
+        return nn.relu(x).astype(self.policy.compute_dtype)
+
+
+class IDAUp(nn.Module):
+    """Iterative deep aggregation of a pyramid slice to a common resolution
+    (pose_dla_dcn.py:361)."""
+
+    out_channels: int
+    up_factors: Tuple[int, ...]
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, layers, train: bool = False):
+        layers = list(layers)
+        for i in range(1, len(layers)):
+            x = DeformUpBlock(self.out_channels, policy=self.policy,
+                              name=f"proj_{i}")(layers[i], train)
+            x = UpsampleBilinear(int(self.up_factors[i]), name=f"up_{i}")(x)
+            layers[i] = DeformUpBlock(self.out_channels, policy=self.policy,
+                                      name=f"node_{i}")(x + layers[i - 1], train)
+        return layers
+
+
+class DLAUp(nn.Module):
+    """Full pyramid aggregation (pose_dla_dcn.py:390)."""
+
+    channels: Tuple[int, ...]
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, layers, train: bool = False):
+        channels = list(self.channels)
+        scales = [2 ** i for i in range(len(channels))]
+        layers = list(layers)
+        out = [layers[-1]]
+        scales_arr = list(scales)
+        in_ch = list(channels)
+        for i in range(len(channels) - 1):
+            j = -i - 2
+            ida = IDAUp(channels[j],
+                        tuple(s // scales_arr[j] for s in scales_arr[j:]),
+                        policy=self.policy, name=f"ida_{i}")
+            sub = ida(layers[j:], train=train)
+            layers[j:] = sub
+            scales_arr[j + 1:] = [scales_arr[j]] * len(scales_arr[j + 1:])
+            in_ch[j + 1:] = [channels[j]] * len(in_ch[j + 1:])
+            out.insert(0, layers[-1])
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class DLASegConfig(ConfigBase):
+    dla: DLAConfig = DLAConfig()
+    down_ratio: int = 4
+    last_level: int = 5
+    head_conv: int = 256
+    heads: Tuple[Tuple[str, int], ...] = (
+        ("hm", 2), ("st", 8), ("wh", 8), ("ax", 256), ("cr", 256), ("reg", 2),
+    )
+
+
+class DLASeg(nn.Module):
+    """DLA trunk + DLAUp/IDAUp neck + per-task conv heads
+    (pose_dla_dcn.py:428). Returns dict of NHWC head maps at 1/down_ratio."""
+
+    config: DLASegConfig = DLASegConfig()
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        p = self.policy
+        first = int(math.log2(cfg.down_ratio))
+        feats = DLA(cfg.dla, policy=p, name="base")(x, train)
+        channels = cfg.dla.channels
+        pyramid = DLAUp(tuple(channels[first:]), policy=p, name="dla_up")(
+            feats[first:], train=train)
+
+        # final IDA over levels [first, last_level) at the first level's res
+        slice_ch = channels[first]
+        y = [pyramid[i] for i in range(cfg.last_level - first)]
+        y = IDAUp(slice_ch, tuple(2 ** i for i in range(cfg.last_level - first)),
+                  policy=p, name="ida_up")(y, train=train)
+        feat = y[-1]
+
+        out = {}
+        for head, classes in cfg.heads:
+            h = nn.Conv(cfg.head_conv, (3, 3), padding=1, dtype=p.compute_dtype,
+                        param_dtype=p.param_dtype, name=f"{head}_conv1")(feat)
+            h = nn.relu(h)
+            bias_init = (nn.initializers.constant(-2.19) if "hm" in head
+                         else nn.initializers.zeros)
+            h = nn.Conv(classes, (1, 1), dtype=p.compute_dtype,
+                        param_dtype=p.param_dtype, bias_init=bias_init,
+                        name=f"{head}_out")(h)
+            out[head] = h.astype(jnp.float32)
+        return out

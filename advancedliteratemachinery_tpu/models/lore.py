@@ -1,0 +1,263 @@
+"""LORE-TSR: table structure recognition (TPU-native).
+
+Behavioral parity target (reference: DocumentUnderstanding/LORE-TSR/src):
+- DLA-34(+DCN) CenterNet heads {hm:2, st:8, wh:8, ax:256, cr:256, reg:2}
+  (opts.py:403).
+- Device decode: heatmap peaks → top-K cells → 4-point boxes; corner
+  heatmap decode refines grouping (decode.py:54,:79).
+- `Processor` (classifier.py:51): cell features (ax + summed 4-corner cr
+  features) + x/y position embeddings of the box extremes → pre-LN-free
+  vendored transformer (transformer.py:48: linear → N encoder layers
+  [Norm/MHA/FF, residual] → 2-layer ReLU decoder) → 4 logical coordinates
+  (row_start, row_end, col_start, col_end). Optional `Stacker`
+  (classifier.py:22) refines with a second transformer conditioned on the
+  first prediction.
+- Losses (losses.py): CornerNet focal (hm) :10, RegL1 (wh/st/reg) :97,
+  AxisLoss (logical coords L1 /4) :54, PairLoss :109.
+- Eval metrics: bbox P/R/F1 at IoU + logical-location accuracy
+  (eval_utils.py:79,:116).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from advancedliteratemachinery_tpu.core.config import ConfigBase
+from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
+from advancedliteratemachinery_tpu.core.registry import MODELS
+from advancedliteratemachinery_tpu.models.dla import DLASeg, DLASegConfig
+from advancedliteratemachinery_tpu.ops.heatmap import (
+    corner_decode,
+    ctdet_4ps_decode,
+    gather_feat,
+    sigmoid_clamped,
+)
+
+
+class LoreEncoderLayer(nn.Module):
+    """Vendored-transformer encoder layer (transformer.py:98-258):
+    x + attn(norm(x)); x + ff(norm(x)) with torch-style std-norm."""
+
+    dim: int
+    heads: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        p = self.policy
+
+        def stdnorm(h, name):
+            # reference Norm (transformer.py:98): (x-mean)/std (Bessel) — not LN
+            alpha = self.param(f"{name}_alpha", nn.initializers.ones, (self.dim,),
+                               p.param_dtype)
+            bias = self.param(f"{name}_bias", nn.initializers.zeros, (self.dim,),
+                              p.param_dtype)
+            mu = jnp.mean(h, axis=-1, keepdims=True)
+            sd = jnp.std(h, axis=-1, keepdims=True, ddof=1)
+            return alpha * (h - mu) / (sd + 1e-6) + bias
+
+        h = stdnorm(x.astype(jnp.float32), "norm1").astype(p.compute_dtype)
+        B, T, C = h.shape
+        hd = C // self.heads
+        q = nn.Dense(C, dtype=p.compute_dtype, param_dtype=p.param_dtype, name="q")(h)
+        k = nn.Dense(C, dtype=p.compute_dtype, param_dtype=p.param_dtype, name="k")(h)
+        v = nn.Dense(C, dtype=p.compute_dtype, param_dtype=p.param_dtype, name="v")(h)
+        q = q.reshape(B, T, self.heads, hd)
+        k = k.reshape(B, T, self.heads, hd)
+        v = v.reshape(B, T, self.heads, hd)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) / (hd ** 0.5)
+        if mask is not None:
+            # mask [B, T] → pairwise valid (transformer.py:117-123)
+            m2d = mask[:, None, :, None] * mask[:, None, None, :]
+            scores = jnp.where(m2d > 0, scores, -1e9)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        o = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, C)
+        o = nn.Dense(C, dtype=p.compute_dtype, param_dtype=p.param_dtype, name="out")(o)
+        x = x + o
+
+        h = stdnorm(x.astype(jnp.float32), "norm2").astype(p.compute_dtype)
+        h = nn.Dense(2048, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="ff1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(C, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="ff2")(h)
+        return x + h
+
+
+class LoreTransformer(nn.Module):
+    """linear → N encoder layers → final norm → 2-layer ReLU decoder
+    (transformer.py:48)."""
+
+    hidden: int
+    out_dim: int
+    layers: int
+    heads: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        p = self.policy
+        x = nn.Dense(self.hidden, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="in_proj")(x)
+        for i in range(self.layers):
+            x = LoreEncoderLayer(self.hidden, self.heads, policy=p,
+                                 name=f"layer_{i}")(x, mask, deterministic)
+        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
+                         name="final_norm")(x).astype(p.compute_dtype)
+        x = nn.Dense(self.hidden, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="dec1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.out_dim, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="dec2")(x)
+        return nn.relu(x).astype(jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoreConfig(ConfigBase):
+    backbone: DLASegConfig = DLASegConfig()
+    input_size: int = 256        # cell feature dim (== ax/cr head dim)
+    hidden_size: int = 256
+    output_size: int = 4         # logical coords
+    tsfm_layers: int = 4         # reference default 6; 4 in release scripts
+    stacking_layers: int = 4
+    num_heads: int = 8
+    max_fmp_size: int = 256
+    wiz_2dpe: bool = True
+    wiz_stacking: bool = True
+    top_k: int = 100             # cell detections
+    corner_k: int = 400
+
+
+class LoreProcessor(nn.Module):
+    """Logical location regression over detected-cell features
+    (classifier.py:51)."""
+
+    config: LoreConfig
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, feat, boxes=None, mask=None, deterministic: bool = True
+                 ) -> Dict[str, jnp.ndarray]:
+        """feat [B,K,D] cell features (ax + corner-sum); boxes [B,K,8]
+        4-point boxes on the feature map (for 2D position embeddings).
+        Returns logic [B,K,4] (+ stacked_logic if wiz_stacking)."""
+        cfg = self.config
+        p = self.policy
+        if cfg.wiz_2dpe and boxes is not None:
+            ps = jnp.clip(jnp.round(boxes), 0, cfg.max_fmp_size - 1).astype(jnp.int32)
+            xe = nn.Embed(cfg.max_fmp_size, cfg.hidden_size, param_dtype=p.param_dtype,
+                          name="x_pe")
+            ye = nn.Embed(cfg.max_fmp_size, cfg.hidden_size, param_dtype=p.param_dtype,
+                          name="y_pe")
+            feat = (feat + xe(ps[:, :, 0]) + ye(ps[:, :, 1])
+                    + xe(ps[:, :, 2]) + ye(ps[:, :, 5]))
+
+        logic = LoreTransformer(cfg.hidden_size, cfg.output_size, cfg.tsfm_layers,
+                                cfg.num_heads, policy=p, name="tsfm_axis")(
+            feat, mask, deterministic)
+        out = {"logic": logic}
+        if cfg.wiz_stacking:
+            # Stacker (classifier.py:22): embed first prediction, concat, regress
+            h = nn.Dense(cfg.hidden_size, dtype=p.compute_dtype,
+                         param_dtype=p.param_dtype, name="logi_enc1")(logic)
+            h = nn.relu(h)
+            h = nn.Dense(cfg.hidden_size, dtype=p.compute_dtype,
+                         param_dtype=p.param_dtype, name="logi_enc2")(h)
+            h = nn.relu(h)
+            cat = jnp.concatenate([h, feat.astype(h.dtype)], axis=-1)
+            stacked = LoreTransformer(cfg.hidden_size, cfg.output_size,
+                                      cfg.stacking_layers, cfg.num_heads, policy=p,
+                                      name="stacker_tsfm")(cat, mask, deterministic)
+            out["stacked_logic"] = stacked
+        return out
+
+
+@MODELS.register("lore")
+class LORE(nn.Module):
+    """End-to-end: DLASeg heads; at eval, device-side decode + Processor."""
+
+    config: LoreConfig = LoreConfig()
+    policy: Policy = DEFAULT_POLICY
+
+    def setup(self):
+        self.backbone = DLASeg(self.config.backbone, policy=self.policy)
+        self.processor = LoreProcessor(self.config, policy=self.policy)
+
+    def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Raw head maps (training path; decode/processor wired by callers)."""
+        return self.backbone(images, train=train)
+
+    def infer(self, images) -> Dict[str, jnp.ndarray]:
+        """Full inference: heads → sigmoid hm → decode → processor
+        (base_detector.py:180 run / ctdet.py:41 process)."""
+        cfg = self.config
+        out = self.backbone(images, train=False)
+        hm = sigmoid_clamped(out["hm"][..., 0:1])
+        mk = sigmoid_clamped(out["hm"][..., 1:2]) if out["hm"].shape[-1] > 1 else None
+
+        dec = ctdet_4ps_decode(hm, out["wh"], out["ax"], out["cr"],
+                               reg=out.get("reg"), k=cfg.top_k)
+        corners = (corner_decode(mk, out["st"], out.get("reg"), k=cfg.corner_k)
+                   if mk is not None else None)
+
+        feat = dec["ax_feat"] + dec["cr_feat"]
+        boxes = dec["detections"][..., :8]
+        logic = self.processor(feat, boxes, deterministic=True)
+
+        res = {
+            "detections": dec["detections"],
+            "logic": logic.get("stacked_logic", logic["logic"]),
+            "raw_logic": logic["logic"],
+            "scores": dec["scores"],
+        }
+        if corners is not None:
+            res["corners"] = corners["gboxes"]
+            res["corner_scores"] = corners["scores"]
+        return res
+
+    def train_logic(self, images, ct_inds, ct_mask, gt_boxes=None
+                    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        """Training path for the processor: gather ax features at GT center
+        indices (classifier.py:94-118 training mode)."""
+        out = self.backbone(images, train=True)
+        ax_feat = gather_feat(out["ax"], ct_inds)
+        logic = self.processor(ax_feat, gt_boxes, mask=ct_mask, deterministic=False)
+        return out, logic
+
+
+# ---------------- losses (losses.py) ----------------
+
+
+def focal_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """CornerNet modified focal loss (losses.py:10). pred in (0,1)."""
+    pos = (gt == 1.0).astype(jnp.float32)
+    neg = 1.0 - pos
+    neg_w = (1.0 - gt) ** 4
+    pos_loss = jnp.log(pred) * (1 - pred) ** 2 * pos
+    neg_loss = jnp.log(1 - pred) * pred ** 2 * neg_w * neg
+    num_pos = jnp.sum(pos)
+    total = jnp.sum(pos_loss) + jnp.sum(neg_loss)
+    return jnp.where(num_pos == 0, -jnp.sum(neg_loss), -total / jnp.maximum(num_pos, 1.0))
+
+
+def reg_l1_loss(pred: jnp.ndarray, mask: jnp.ndarray, target: jnp.ndarray
+                ) -> jnp.ndarray:
+    """Masked L1 over gathered regressions (losses.py:97). pred/target
+    [B,K,D], mask [B,K]. Denominator counts mask elements expanded over D
+    (matching the reference's `mask.expand_as(pred).sum()`)."""
+    m = jnp.broadcast_to(mask[..., None].astype(jnp.float32), pred.shape)
+    loss = jnp.sum(jnp.abs(pred * m - target * m))
+    return loss / (jnp.sum(m) + 1e-4)
+
+
+def axis_loss(pred: jnp.ndarray, mask: jnp.ndarray, target: jnp.ndarray
+              ) -> jnp.ndarray:
+    """Logical-coordinate L1 / 4 (losses.py:54)."""
+    m = mask[..., None].astype(jnp.float32)
+    loss = jnp.sum(jnp.abs(pred * m - target * m))
+    return loss / (4 * (jnp.sum(m) + 1e-4))
