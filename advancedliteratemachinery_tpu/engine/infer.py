@@ -29,8 +29,18 @@ class MGPSTRInference:
 
     def __init__(self, model, params, codec: CharCodec,
                  bpe_codec=None, wp_codec=None, input_dtype=jnp.bfloat16):
+        import dataclasses as _dc
+
+        # inference policy: keep logits in the compute dtype — the decode
+        # reductions upcast to fp32 themselves, and a [B, 27, 50304] fp32
+        # logits buffer would double HBM traffic for nothing
+        if model.policy.compute_dtype != model.policy.output_dtype:
+            model = type(model)(model.config, policy=_dc.replace(
+                model.policy, output_dtype=model.policy.compute_dtype))
         self.model = model
-        self.params = params
+        # pre-cast params to the compute dtype once: halves weight HBM
+        # traffic per call (the 768x50304 BPE head alone is 154MB in fp32)
+        self.params = model.policy.cast_to_compute(params)
         self.codec = codec
         self.bpe_codec = bpe_codec
         self.wp_codec = wp_codec
@@ -57,15 +67,20 @@ class MGPSTRInference:
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Greedy ids (positions 1:) + cumulative max-prob confidence up to the
         head's EOS id (char: 1, bpe: 2, wp: 102). Vocab-padding columns
-        (>= true_vocab) are masked out."""
+        (>= true_vocab) are masked out.
+
+        Implemented as max/argmax/logsumexp reductions over the logits —
+        never materializing the [B, T, 50k] probability tensor the
+        reference's softmax+max does (test_final.py:150-152)."""
         eos_id = {"char": 1, "bpe": 2, "wp": 102}[head]
         if logits.shape[-1] > true_vocab:
-            neg = jnp.finfo(jnp.float32).min
             pad_mask = jnp.arange(logits.shape[-1]) >= true_vocab
-            logits = jnp.where(pad_mask, neg, logits.astype(jnp.float32))
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1:, :]
-        pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-        pmax = jnp.max(probs, axis=-1)
+            logits = jnp.where(pad_mask, -jnp.inf, logits)
+        logits = logits[:, 1:, :]
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lmax = jnp.max(logits.astype(jnp.float32), axis=-1)
+        lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+        pmax = jnp.exp(lmax - lse)
         is_eos = pred == eos_id
         any_eos = jnp.any(is_eos, axis=1)
         eos_pos = jnp.argmax(is_eos, axis=1)
