@@ -1,0 +1,147 @@
+"""Checkpoint layer: Orbax persistence + PyTorch-checkpoint import.
+
+Replaces the reference's per-project torch.save/load conventions
+(SURVEY.md §5: MGP-STR rank0 saves train_final_dist.py:228; LISTER
+SaveAndLoad utils.py:177; OmniParser Checkpointer utils/checkpointer.py:5
+with embedding-resize surgery :9; GeoLayoutLM key surgery
+model/geolayoutlm_vie.py:58) with one Orbax-based store, plus converters
+that map PyTorch state_dicts into this framework's flax param trees so the
+reference's released checkpoints can be imported for output-fidelity
+parity.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------- Orbax persistence ----------------
+
+
+def save_checkpoint(path: str, state: Any, step: Optional[int] = None) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(f"{path}/step_{step}" if step is not None else path, state)
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target)
+
+
+# ---------------- PyTorch import ----------------
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor → numpy (no torch import needed at call sites)."""
+    if hasattr(x, "detach"):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model", "state_dict", "net"):
+        if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+            sd = sd[key]
+    # strip DDP 'module.' prefixes (reference wraps all models in DDP)
+    return {re.sub(r"^module\.", "", k): _t(v) for k, v in sd.items()}
+
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch conv [O, I, kh, kw] → flax [kh, kw, I, O]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def linear_kernel(w: np.ndarray) -> np.ndarray:
+    """torch linear [O, I] → flax [I, O]."""
+    return np.transpose(w, (1, 0))
+
+
+def import_mgp_str(sd: Dict[str, np.ndarray], params: Dict,
+                   vocab_pad_multiple: int = 128) -> Dict:
+    """Map an MGP-STR torch checkpoint (timm ViT + TokenLearners + heads,
+    reference modules/mgp_str.py) onto our param tree. Head vocab dims are
+    zero-padded up to our MXU-aligned sizes."""
+    out = jax.tree.map(np.asarray, params)
+    p = {k[len("mgp_str."):] if k.startswith("mgp_str.") else k: v
+         for k, v in sd.items()}
+
+    enc = out["encoder"]
+    enc["patch_embed"]["proj"]["kernel"] = conv_kernel(p["patch_embed.proj.weight"])
+    enc["patch_embed"]["proj"]["bias"] = p["patch_embed.proj.bias"]
+    enc["cls_token"] = p["cls_token"]
+    enc["pos_embed"] = p["pos_embed"]
+    n_blocks = sum(1 for k in enc if k.startswith("blocks_"))
+    for i in range(n_blocks):
+        b = enc[f"blocks_{i}"]
+        pre = f"blocks.{i}."
+        b["norm1"]["scale"] = p[pre + "norm1.weight"]
+        b["norm1"]["bias"] = p[pre + "norm1.bias"]
+        b["attn"]["qkv"]["kernel"] = linear_kernel(p[pre + "attn.qkv.weight"])
+        if pre + "attn.qkv.bias" in p:
+            b["attn"]["qkv"]["bias"] = p[pre + "attn.qkv.bias"]
+        b["attn"]["proj"]["kernel"] = linear_kernel(p[pre + "attn.proj.weight"])
+        b["attn"]["proj"]["bias"] = p[pre + "attn.proj.bias"]
+        b["norm2"]["scale"] = p[pre + "norm2.weight"]
+        b["norm2"]["bias"] = p[pre + "norm2.bias"]
+        b["mlp"]["fc1"]["kernel"] = linear_kernel(p[pre + "mlp.fc1.weight"])
+        b["mlp"]["fc1"]["bias"] = p[pre + "mlp.fc1.bias"]
+        b["mlp"]["fc2"]["kernel"] = linear_kernel(p[pre + "mlp.fc2.weight"])
+        b["mlp"]["fc2"]["bias"] = p[pre + "mlp.fc2.bias"]
+
+    for head in ("char", "bpe", "wp"):
+        tl = out[f"{head}_token_learner"]
+        pre = f"{head}_tokenLearner."
+        tl["token_norm"]["scale"] = p[pre + "token_norm.weight"]
+        tl["token_norm"]["bias"] = p[pre + "token_norm.bias"]
+        # torch grouped conv [O, I/G, 1, 1] → our [G, I/G, O/G]
+        w0 = p[pre + "tokenLearner.0.weight"][:, :, 0, 0]      # [D, D/8]
+        tl["select_group"]["kernel"] = _grouped_from_torch(w0, groups=8)
+        w1 = p[pre + "tokenLearner.1.weight"][:, :, 0, 0]      # [T, D]
+        tl["select_proj"]["kernel"] = np.transpose(w1, (1, 0))
+        wf = p[pre + "feat.weight"][:, :, 0, 0]
+        tl["feat"]["kernel"] = _grouped_from_torch(wf, groups=8)
+        tl["norm"]["scale"] = p[pre + "norm.weight"]
+        tl["norm"]["bias"] = p[pre + "norm.bias"]
+
+        hw = linear_kernel(p[f"{head}_head.weight"])
+        hb = p[f"{head}_head.bias"]
+        tgt = out[f"{head}_head"]["kernel"]
+        padded = np.zeros_like(tgt)
+        padded[:, : hw.shape[1]] = hw
+        out[f"{head}_head"]["kernel"] = padded
+        pb = np.zeros_like(out[f"{head}_head"]["bias"])
+        # padded vocab columns get a very negative bias so they never win
+        pb[:] = -1e4
+        pb[: hb.shape[0]] = hb
+        out[f"{head}_head"]["bias"] = pb
+
+    return jax.tree.map(jnp.asarray, out)
+
+
+def _grouped_from_torch(w: np.ndarray, groups: int) -> np.ndarray:
+    """torch grouped 1x1 conv weight [O, I/G] → our block-diag [G, I/G, O/G].
+
+    torch computes out[g*O/G + o] = Σ_i w[g*O/G + o, i] · x[g*I/G + i];
+    ours: out[..., g, o] = Σ_i x[..., g, i] · kernel[g, i, o].
+    """
+    O, Ig = w.shape
+    Og = O // groups
+    return np.stack([np.transpose(w[g * Og:(g + 1) * Og], (1, 0))
+                     for g in range(groups)], axis=0)
+
+
+TORCH_IMPORTERS: Dict[str, Callable] = {
+    "mgp_str": import_mgp_str,
+}

@@ -1,0 +1,18 @@
+from advancedliteratemachinery_tpu.eval.str_metrics import (
+    STRAccuracyCounter,
+    benchmark_summary,
+)
+from advancedliteratemachinery_tpu.eval.tree_edit import tree_edit_distance, Node
+from advancedliteratemachinery_tpu.eval.teds import TEDS
+from advancedliteratemachinery_tpu.eval.kie_metrics import field_f1, ntED
+from advancedliteratemachinery_tpu.eval.ocr_metrics import token_metrics
+from advancedliteratemachinery_tpu.eval.lore_metrics import (
+    bbox_prf,
+    logical_accuracy,
+)
+
+__all__ = [
+    "STRAccuracyCounter", "benchmark_summary", "tree_edit_distance", "Node",
+    "TEDS", "field_f1", "ntED", "token_metrics", "bbox_prf",
+    "logical_accuracy",
+]

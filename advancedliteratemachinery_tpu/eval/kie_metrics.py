@@ -1,0 +1,99 @@
+"""KIE metrics: Donut-style field F1 and normalized tree edit distance.
+
+Parity target: CC-OCR KieEvaluator
+(reference Benchmarks/CC-OCR/evaluation/evaluator/kie_evaluator.py:
+normalize_dict :88, flatten semantics, cal_f1_all :122 [micro field F1 =
+tp / (tp + (fn+fp)/2)], construct_tree_from_dict :190, cal_acc :226
+[nTED accuracy = max(0, 1 - TED/TED(empty, gt))];
+also OmniParser KIE eval protocol)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple, Union
+
+from advancedliteratemachinery_tpu.eval.tree_edit import Node, tree_edit_distance
+
+
+def normalize_dict(data: Any) -> Any:
+    """Sort keys, drop empties, coerce scalars to [str] (kie_evaluator.py:88)."""
+    if not data:
+        return {}
+    if isinstance(data, dict):
+        new: Dict[str, Any] = {}
+        for key in sorted(data.keys(), key=lambda k: (len(str(k)), str(k))):
+            value = normalize_dict(data[key])
+            if value:
+                if not isinstance(value, list):
+                    value = [value]
+                new[key] = value
+        return new
+    if isinstance(data, list):
+        if all(isinstance(item, dict) for item in data):
+            return [v for v in (normalize_dict(i) for i in data) if v]
+        return [str(i).strip() for i in data
+                if type(i) in {str, int, float} and str(i).strip()]
+    return [str(data).strip()]
+
+
+def flatten(data: Any, prefix: str = "") -> List[Tuple[str, str]]:
+    """dict tree → list of (field_name, value) pairs."""
+    out: List[Tuple[str, str]] = []
+    if isinstance(data, dict):
+        for k, v in data.items():
+            out.extend(flatten(v, k))
+    elif isinstance(data, list):
+        for item in data:
+            if isinstance(item, (dict, list)):
+                out.extend(flatten(item, prefix))
+            else:
+                out.append((prefix, str(item)))
+    else:
+        out.append((prefix, str(data)))
+    return out
+
+
+def field_f1(preds: Dict[str, Any], answers: Dict[str, Any]) -> float:
+    """Micro field-level F1 over samples (cal_f1_all :122)."""
+    total_tp, total_fn_or_fp = 0, 0
+    for file_name, answer in answers.items():
+        pred = preds.get(file_name, {})
+        p = flatten(normalize_dict(pred))
+        a = flatten(normalize_dict(answer))
+        a = list(a)
+        for field in p:
+            if field in a:
+                total_tp += 1
+                a.remove(field)
+            else:
+                total_fn_or_fp += 1
+        total_fn_or_fp += len(a)
+    return total_tp / (total_tp + total_fn_or_fp / 2 + 1e-6)
+
+
+def dict_to_tree(data: Union[Dict, List, str], label: str = "root") -> Node:
+    """construct_tree_from_dict (kie_evaluator.py:190)."""
+    node = Node(label)
+    if isinstance(data, dict):
+        for k, v in data.items():
+            node.children.append(dict_to_tree(v, str(k)))
+    elif isinstance(data, list):
+        for item in data:
+            if isinstance(item, (dict, list)):
+                node.children.append(dict_to_tree(item, "<item>"))
+            else:
+                node.children.append(Node(str(item)))
+    else:
+        node.children.append(Node(str(data)))
+    return node
+
+
+def ntED(pred: Dict[str, Any], answer: Dict[str, Any]) -> float:
+    """Donut nTED accuracy: max(0, 1 - TED(pred,gt) / TED(empty,gt))
+    (cal_acc :226)."""
+    gt_tree = dict_to_tree(normalize_dict(answer))
+    pred_tree = dict_to_tree(normalize_dict(pred))
+    empty = Node("root")
+    denom = tree_edit_distance(empty, gt_tree)
+    if denom == 0:
+        return 1.0 if tree_edit_distance(pred_tree, gt_tree) == 0 else 0.0
+    return max(0.0, 1.0 - tree_edit_distance(pred_tree, gt_tree) / denom)

@@ -27,6 +27,13 @@ from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
 from advancedliteratemachinery_tpu.models.layers import DropPath
 
 
+def _gelu(x):
+    """Exact (erf) GELU — matches torch nn.GELU for checkpoint parity."""
+    from flax import linen as _nn
+    return _nn.gelu(x, approximate=False)
+
+
+
 def downsample_mask(mask: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Max-pool a [B, H, W] 0/1 mask to out_hw (adaptive_max_pool2d analog
     for our integer-stride cases)."""
@@ -79,11 +86,11 @@ class Stem(nn.Module):
         x, mask = MaskedConv(32, (5, 5), (2, 2), groups=32, policy=p, name="conv1_0")(x, mask)
         x = ln("norm1")(x).astype(p.compute_dtype)
         x, mask = MaskedConv(64, (1, 1), policy=p, name="conv1_1")(x, mask)
-        x = nn.gelu(x)
+        x = _gelu(x)
         x, mask = MaskedConv(64, (5, 5), (2, 2), groups=64, policy=p, name="conv2_0")(x, mask)
         x = ln("norm2")(x).astype(p.compute_dtype)
         x, mask = MaskedConv(self.embed_dim, (1, 1), policy=p, name="conv2_1")(x, mask)
-        x = nn.gelu(x)
+        x = _gelu(x)
         x = nn.Dense(self.embed_dim, dtype=p.compute_dtype, param_dtype=p.param_dtype,
                      name="conv3")(x)
         return x, mask
@@ -117,10 +124,10 @@ class FocalModulation(nn.Module):
             ctx = nn.Conv(C, (kh, k), padding="SAME", feature_group_count=C,
                           use_bias=False, dtype=p.compute_dtype,
                           param_dtype=p.param_dtype, name=f"focal_{level}")(ctx)
-            ctx = nn.gelu(ctx) * m
+            ctx = _gelu(ctx) * m
             ctx_all = ctx_all + ctx * gates[..., level:level + 1]
         denom = jnp.sum(m, axis=(1, 2), keepdims=True) + 1e-10
-        ctx_global = nn.gelu(jnp.sum(ctx, axis=(1, 2), keepdims=True) / denom)
+        ctx_global = _gelu(jnp.sum(ctx, axis=(1, 2), keepdims=True) / denom)
         ctx_all = ctx_all + ctx_global * gates[..., self.focal_level:self.focal_level + 1]
 
         modulator = nn.Dense(C, dtype=p.compute_dtype, param_dtype=p.param_dtype,
@@ -166,7 +173,7 @@ class FocalNetBlock(nn.Module):
         h = h.astype(p.compute_dtype)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=p.compute_dtype,
                      param_dtype=p.param_dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = _gelu(h)
         h = nn.Dense(self.dim, dtype=p.compute_dtype, param_dtype=p.param_dtype,
                      name="mlp_fc2")(h)
         h = DropPath(self.drop_path, name="dp2")(h * g2, deterministic=deterministic)

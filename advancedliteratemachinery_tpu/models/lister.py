@@ -39,6 +39,13 @@ from advancedliteratemachinery_tpu.models.focalnet import (
     FocalNetBlock,
 )
 
+
+def _gelu(x):
+    """Exact (erf) GELU — matches torch nn.GELU for checkpoint parity."""
+    from flax import linen as _nn
+    return _nn.gelu(x, approximate=False)
+
+
 NEG_INF = -1e30
 
 
@@ -136,7 +143,7 @@ class LocalAttentionModule(nn.Module):
                              name=f"norm2_{i}")(x).astype(p.compute_dtype)
             h = nn.Dense(self.dim * 4, dtype=p.compute_dtype, param_dtype=p.param_dtype,
                          name=f"mlp_fc1_{i}")(h)
-            h = nn.gelu(h)
+            h = _gelu(h)
             h = nn.Dense(self.dim, dtype=p.compute_dtype, param_dtype=p.param_dtype,
                          name=f"mlp_fc2_{i}")(h)
             x = x + g2.astype(h.dtype) * h

@@ -96,6 +96,8 @@ class MGPSTRConfig(ConfigBase):
     # never appear as targets so the loss is unaffected.
     vocab_pad_multiple: int = 128
     drop_path: float = 0.0
+    # explicit backbone override (None → the named variant)
+    vit: "ViTConfig" = None
 
     @property
     def max_tokens(self) -> int:
@@ -105,6 +107,8 @@ class MGPSTRConfig(ConfigBase):
         return _round_up(true_size, self.vocab_pad_multiple)
 
     def vit_config(self) -> ViTConfig:
+        if self.vit is not None:
+            return self.vit
         return VIT_VARIANTS[self.variant].replace(drop_path=self.drop_path)
 
 

@@ -26,6 +26,13 @@ from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
 from advancedliteratemachinery_tpu.models.layers import DropPath
 
 
+def _gelu(x):
+    """Exact (erf) GELU — matches torch nn.GELU for checkpoint parity."""
+    from flax import linen as _nn
+    return _nn.gelu(x, approximate=False)
+
+
+
 def window_partition(x: jnp.ndarray, w: int) -> jnp.ndarray:
     """[B, H, W, C] → [B*nH*nW, w*w, C] (H, W divisible by w)."""
     B, H, W, C = x.shape
@@ -145,7 +152,7 @@ class SwinBlock(nn.Module):
                          name="norm2")(x).astype(p.compute_dtype)
         h = nn.Dense(int(C * self.mlp_ratio), dtype=p.compute_dtype,
                      param_dtype=p.param_dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = _gelu(h)
         h = nn.Dense(C, dtype=p.compute_dtype, param_dtype=p.param_dtype,
                      name="mlp_fc2")(h)
         return x + DropPath(self.drop_path, name="dp2")(h, deterministic)
