@@ -1,0 +1,186 @@
+"""DB (Differentiable Binarization) text detector.
+
+Behavioral parity target: the line-level DB detector DocXChain consumes via
+ModelScope (reference Applications/DocXChain/modules/text_detection.py:32
+`pipeline(Tasks.ocr_detection, model='...reading...line-level_damo')` — a
+ResNet-18 + FPN + DB head). The model itself isn't vendored in the
+reference, so this follows the standard public DB architecture: ResNet-18
+backbone → FPN (256) → per-level 64ch laterals concatenated at 1/4 →
+probability head (conv + 2 deconvs → full-res sigmoid map); at train time a
+threshold head + differentiable binarization b = 1/(1+exp(-k(p-t))).
+
+Device side ends at the probability map; box extraction (connected
+components → min-area quads → unclip) is host-side cv2 work, mirroring the
+reference's host post-processing split.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from advancedliteratemachinery_tpu.core.config import ConfigBase
+from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
+from advancedliteratemachinery_tpu.core.registry import MODELS
+
+BN_MOMENTUM = 0.9
+
+
+class ConvBNRelu(nn.Module):
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    relu: bool = True
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.policy
+        x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME",
+                    use_bias=False, dtype=p.compute_dtype,
+                    param_dtype=p.param_dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         dtype=jnp.float32, param_dtype=p.param_dtype,
+                         name="bn")(x).astype(p.compute_dtype)
+        return nn.relu(x) if self.relu else x
+
+
+class ResBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = x
+        h = ConvBNRelu(self.planes, (3, 3), (self.stride, self.stride),
+                       policy=self.policy, name="c1")(x, train)
+        h = ConvBNRelu(self.planes, (3, 3), relu=False, policy=self.policy,
+                       name="c2")(h, train)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            r = ConvBNRelu(self.planes, (1, 1), (self.stride, self.stride),
+                           relu=False, policy=self.policy, name="down")(x, train)
+        return nn.relu(h + r)
+
+
+@dataclasses.dataclass(frozen=True)
+class DBConfig(ConfigBase):
+    width: int = 64           # resnet-18 base width
+    fpn_dim: int = 256
+    head_dim: int = 64
+    k: float = 50.0           # binarization steepness
+
+
+@MODELS.register("db_detector")
+class DBDetector(nn.Module):
+    config: DBConfig = DBConfig()
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
+        """images [B, H, W, 3] (H, W mult of 32) → prob map [B, H, W, 1]
+        (+ thresh/binary maps at train time)."""
+        cfg = self.config
+        p = self.policy
+        w = cfg.width
+        x = ConvBNRelu(w, (7, 7), (2, 2), policy=p, name="stem")(
+            images.astype(p.compute_dtype), train)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")
+        feats = []
+        for s, (planes, stride) in enumerate([(w, 1), (2 * w, 2), (4 * w, 2), (8 * w, 2)]):
+            for b in range(2):
+                x = ResBlock(planes, stride if b == 0 else 1, policy=p,
+                             name=f"layer{s}_{b}")(x, train)
+            feats.append(x)   # strides 4, 8, 16, 32
+
+        # FPN: top-down sum, each level → head_dim, upsample to 1/4, concat
+        lat = [nn.Conv(cfg.fpn_dim, (1, 1), dtype=p.compute_dtype,
+                       param_dtype=p.param_dtype, name=f"lat{i}")(f)
+               for i, f in enumerate(feats)]
+        for i in range(2, -1, -1):
+            up = jax.image.resize(lat[i + 1], lat[i].shape, method="nearest")
+            lat[i] = lat[i] + up
+        outs = []
+        ref_shape = lat[0].shape
+        for i, l in enumerate(lat):
+            o = nn.Conv(cfg.head_dim, (3, 3), padding="SAME", dtype=p.compute_dtype,
+                        param_dtype=p.param_dtype, name=f"smooth{i}")(l)
+            if o.shape != ref_shape:
+                o = jax.image.resize(
+                    o, (o.shape[0], ref_shape[1], ref_shape[2], cfg.head_dim),
+                    method="nearest")
+            outs.append(o)
+        fuse = jnp.concatenate(outs, axis=-1)   # [B, H/4, W/4, 4*head_dim]
+
+        def head(name):
+            h = ConvBNRelu(cfg.head_dim, (3, 3), policy=p, name=f"{name}_c")(fuse, train)
+            B, Hq, Wq, _ = h.shape
+            h = jax.image.resize(h, (B, Hq * 2, Wq * 2, cfg.head_dim), "bilinear")
+            h = ConvBNRelu(cfg.head_dim, (3, 3), policy=p, name=f"{name}_c2")(h, train)
+            B, Hh, Wh, _ = h.shape
+            h = jax.image.resize(h, (B, Hh * 2, Wh * 2, cfg.head_dim), "bilinear")
+            h = nn.Conv(1, (3, 3), padding="SAME", dtype=p.compute_dtype,
+                        param_dtype=p.param_dtype, name=f"{name}_out")(h)
+            return jax.nn.sigmoid(h.astype(jnp.float32))
+
+        prob = head("prob")
+        out = {"prob": prob}
+        if train:
+            thresh = head("thresh")
+            out["thresh"] = thresh
+            out["binary"] = jax.nn.sigmoid(cfg.k * (prob - thresh))
+        return out
+
+
+# ---------------- host-side box extraction ----------------
+
+
+def extract_boxes(prob_map: np.ndarray, bin_thresh: float = 0.3,
+                  box_thresh: float = 0.6, unclip_ratio: float = 1.5,
+                  min_size: int = 3) -> Tuple[np.ndarray, np.ndarray]:
+    """prob map [H, W] → (quads [N, 8] float32, scores [N]).
+
+    Standard DB post-processing: binarize → contours → min-area rects,
+    score = mean prob inside, unclip by area/perimeter offset (implemented
+    with cv2 contour scaling — pyclipper isn't available; the offset
+    distance matches the DB paper's A·r/L formula)."""
+    import cv2
+
+    binary = (prob_map > bin_thresh).astype(np.uint8)
+    contours, _ = cv2.findContours(binary, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)
+    quads: List[np.ndarray] = []
+    scores: List[float] = []
+    H, W = prob_map.shape
+    for cnt in contours:
+        if len(cnt) < 4:
+            continue
+        rect = cv2.minAreaRect(cnt)
+        if min(rect[1]) < min_size:
+            continue
+        box = cv2.boxPoints(rect)
+        mask = np.zeros((H, W), np.uint8)
+        cv2.fillPoly(mask, [box.astype(np.int32)], 1)
+        score = float((prob_map * mask).sum() / max(mask.sum(), 1))
+        if score < box_thresh:
+            continue
+        # unclip: offset outward by A * r / L
+        area = cv2.contourArea(box)
+        length = cv2.arcLength(box, True)
+        dist = area * unclip_ratio / max(length, 1e-6)
+        center = box.mean(axis=0)
+        vec = box - center
+        norm = np.linalg.norm(vec, axis=1, keepdims=True) + 1e-6
+        box = box + vec / norm * dist
+        box[:, 0] = np.clip(box[:, 0], 0, W - 1)
+        box[:, 1] = np.clip(box[:, 1], 0, H - 1)
+        quads.append(box.reshape(-1).astype(np.float32))
+        scores.append(score)
+    if not quads:
+        return np.zeros((0, 8), np.float32), np.zeros((0,), np.float32)
+    order = np.argsort(scores)[::-1]
+    return np.stack(quads)[order], np.asarray(scores, np.float32)[order]
