@@ -1,0 +1,476 @@
+"""STR training augmentation suite (host-side).
+
+Behavioral parity target: MGP-STR's augmentation package
+(reference OCR/MGP-STR/augmentation/{warp,geometry,pattern,noise,blur,
+camera,weather,process}.py and the DataAugment selector dataset.py:261-345):
+the same 8 op groups with the same names and the same magnitude convention
+(mag ∈ {0,1,2}), and a `RandAugment` mirroring `rand_aug` (pick N groups
+without replacement, one op per group, random magnitude).
+
+Ops take and return PIL images (the reference's convention); the batch
+pipeline converts once at collate time.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageOps
+
+
+def _np(img: Image.Image) -> np.ndarray:
+    return np.asarray(img).astype(np.float32) / 255.0
+
+
+def _pil(arr: np.ndarray) -> Image.Image:
+    return Image.fromarray(np.uint8(np.clip(arr, 0, 1) * 255))
+
+
+def _rng(rng):
+    return rng if rng is not None else np.random.default_rng()
+
+
+class _Op:
+    def __call__(self, img: Image.Image, mag: int = -1,
+                 rng: Optional[np.random.Generator] = None) -> Image.Image:
+        raise NotImplementedError
+
+
+# ---------------- warp ----------------
+
+
+class Curve(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        rng = _rng(rng)
+        w, h = img.size
+        amp = [0.1, 0.2, 0.3][mag % 3] * h
+        arr = np.asarray(img)
+        xs = np.arange(w)
+        shift = (amp * np.sin(np.pi * xs / w)).astype(np.int32)
+        out = np.zeros_like(arr)
+        for x in range(w):
+            out[:, x] = np.roll(arr[:, x], int(shift[x]), axis=0)
+        return Image.fromarray(out)
+
+
+class Distort(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        rng = _rng(rng)
+        w, h = img.size
+        k = [0.02, 0.04, 0.06][mag % 3]
+        src = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+        jit = (rng.uniform(-k, k, (4, 2)) * [w, h]).astype(np.float32)
+        M = cv2.getPerspectiveTransform(src, (src + jit).astype(np.float32))
+        out = cv2.warpPerspective(np.asarray(img), M, (w, h),
+                                  borderMode=cv2.BORDER_REPLICATE)
+        return Image.fromarray(out)
+
+
+class Stretch(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        rng = _rng(rng)
+        w, h = img.size
+        frac = [0.9, 0.8, 0.7][mag % 3]
+        nw = max(1, int(w * rng.uniform(frac, 1.0)))
+        arr = cv2.resize(np.asarray(img), (nw, h))
+        arr = cv2.resize(arr, (w, h))
+        return Image.fromarray(arr)
+
+
+# ---------------- geometry ----------------
+
+
+class Rotate(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        rng = _rng(rng)
+        deg = [5, 10, 15][mag % 3]
+        angle = float(rng.uniform(-deg, deg))
+        return img.rotate(angle, resample=Image.BILINEAR, expand=False)
+
+
+class Perspective(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        rng = _rng(rng)
+        w, h = img.size
+        k = [0.05, 0.1, 0.15][mag % 3]
+        src = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+        dst = src.copy()
+        dst[:2, 1] += rng.uniform(0, k * h, 2).astype(np.float32)
+        M = cv2.getPerspectiveTransform(src, dst)
+        return Image.fromarray(cv2.warpPerspective(np.asarray(img), M, (w, h),
+                                                   borderMode=cv2.BORDER_REPLICATE))
+
+
+class Shrink(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        w, h = img.size
+        f = [0.9, 0.8, 0.7][mag % 3]
+        nw, nh = max(1, int(w * f)), max(1, int(h * f))
+        small = img.resize((nw, nh), Image.BILINEAR)
+        canvas = Image.new(img.mode, (w, h),
+                           tuple(int(c) for c in np.asarray(img)[0, 0])
+                           if img.mode == "RGB" else 0)
+        canvas.paste(small, ((w - nw) // 2, (h - nh) // 2))
+        return canvas
+
+
+# ---------------- pattern ----------------
+
+
+class _GridBase(_Op):
+    vertical = True
+    horizontal = False
+
+    def __call__(self, img, mag=-1, rng=None):
+        arr = np.asarray(img).copy()
+        h, w = arr.shape[:2]
+        step = [12, 8, 5][mag % 3]
+        if self.vertical:
+            arr[:, ::step] = 0
+        if self.horizontal:
+            arr[::step, :] = 0
+        return Image.fromarray(arr)
+
+
+class VGrid(_GridBase):
+    vertical, horizontal = True, False
+
+
+class HGrid(_GridBase):
+    vertical, horizontal = False, True
+
+
+class Grid(_GridBase):
+    vertical, horizontal = True, True
+
+
+class RectGrid(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        arr = np.asarray(img).copy()
+        h, w = arr.shape[:2]
+        n = [2, 3, 4][mag % 3]
+        for i in range(1, n + 1):
+            cv2.rectangle(arr, (i * w // (2 * n), i * h // (2 * n)),
+                          (w - i * w // (2 * n), h - i * h // (2 * n)), 0, 1)
+        return Image.fromarray(arr)
+
+
+class EllipseGrid(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        arr = np.asarray(img).copy()
+        h, w = arr.shape[:2]
+        n = [2, 3, 4][mag % 3]
+        for i in range(1, n + 1):
+            cv2.ellipse(arr, (w // 2, h // 2), (i * w // (2 * n), i * h // (2 * n)),
+                        0, 0, 360, 0, 1)
+        return Image.fromarray(arr)
+
+
+# ---------------- noise ----------------
+
+
+class GaussianNoise(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        rng = _rng(rng)
+        c = [0.06, 0.1, 0.14][mag % 3]
+        x = _np(img)
+        return _pil(x + rng.normal(size=x.shape) * c)
+
+
+class ShotNoise(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        rng = _rng(rng)
+        c = [13, 8, 4][mag % 3]
+        x = _np(img)
+        return _pil(rng.poisson(x * c) / float(c))
+
+
+class ImpulseNoise(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        rng = _rng(rng)
+        c = [0.01, 0.03, 0.07][mag % 3]
+        x = _np(img)
+        mask = rng.uniform(size=x.shape[:2]) < c
+        salt = rng.uniform(size=x.shape[:2]) < 0.5
+        x[mask & salt] = 1.0
+        x[mask & ~salt] = 0.0
+        return _pil(x)
+
+
+class SpeckleNoise(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        rng = _rng(rng)
+        c = [0.15, 0.2, 0.35][mag % 3]
+        x = _np(img)
+        return _pil(x + x * rng.normal(size=x.shape) * c)
+
+
+# ---------------- blur ----------------
+
+
+class GaussianBlur(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        c = [0.7, 1.0, 1.3][mag % 3]
+        return Image.fromarray(cv2.GaussianBlur(np.asarray(img), (0, 0), c))
+
+
+class DefocusBlur(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        r = [2, 3, 4][mag % 3]
+        kernel = np.zeros((2 * r + 1, 2 * r + 1), np.float32)
+        cv2.circle(kernel, (r, r), r, 1.0, -1)
+        kernel /= kernel.sum()
+        return Image.fromarray(cv2.filter2D(np.asarray(img), -1, kernel))
+
+
+class MotionBlur(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        rng = _rng(rng)
+        k = [5, 9, 13][mag % 3]
+        kernel = np.zeros((k, k), np.float32)
+        kernel[k // 2, :] = 1.0 / k
+        angle = float(rng.uniform(-45, 45))
+        M = cv2.getRotationMatrix2D((k / 2 - 0.5, k / 2 - 0.5), angle, 1.0)
+        kernel = cv2.warpAffine(kernel, M, (k, k))
+        s = kernel.sum()
+        if s > 0:
+            kernel /= s
+        return Image.fromarray(cv2.filter2D(np.asarray(img), -1, kernel))
+
+
+class GlassBlur(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        rng = _rng(rng)
+        d = [1, 2, 3][mag % 3]
+        arr = np.asarray(img).copy()
+        h, w = arr.shape[:2]
+        dy = rng.integers(-d, d + 1, (h, w))
+        dx = rng.integers(-d, d + 1, (h, w))
+        ys = np.clip(np.arange(h)[:, None] + dy, 0, h - 1)
+        xs = np.clip(np.arange(w)[None, :] + dx, 0, w - 1)
+        return Image.fromarray(arr[ys, xs])
+
+
+class ZoomBlur(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        zooms = [1.02, 1.04, 1.06][mag % 3]
+        x = _np(img)
+        h, w = x.shape[:2]
+        acc = x.copy()
+        n = 4
+        for i in range(1, n + 1):
+            z = 1 + (zooms - 1) * i / n
+            zi = cv2.resize(np.asarray(img), None, fx=z, fy=z)
+            y0 = (zi.shape[0] - h) // 2
+            x0 = (zi.shape[1] - w) // 2
+            acc += zi[y0:y0 + h, x0:x0 + w].astype(np.float32) / 255.0
+        return _pil(acc / (n + 1))
+
+
+# ---------------- camera ----------------
+
+
+class Contrast(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        f = [0.6, 0.45, 0.3][mag % 3]
+        return ImageEnhance.Contrast(img).enhance(f)
+
+
+class Brightness(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        f = [1.3, 1.6, 1.9][mag % 3]
+        return ImageEnhance.Brightness(img).enhance(f)
+
+
+class JpegCompression(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import io
+
+        q = [25, 18, 12][mag % 3]
+        buf = io.BytesIO()
+        img.convert("RGB").save(buf, "JPEG", quality=q)
+        return Image.open(buf).convert(img.mode)
+
+
+class Pixelate(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        f = [0.6, 0.5, 0.4][mag % 3]
+        w, h = img.size
+        small = img.resize((max(1, int(w * f)), max(1, int(h * f))), Image.BOX)
+        return small.resize((w, h), Image.BOX)
+
+
+# ---------------- weather ----------------
+
+
+class Fog(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        c = [0.3, 0.45, 0.6][mag % 3]
+        x = _np(img)
+        return _pil(x * (1 - c) + c)
+
+
+class Snow(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        rng = _rng(rng)
+        c = [0.02, 0.05, 0.08][mag % 3]
+        x = _np(img)
+        flakes = (rng.uniform(size=x.shape[:2]) < c).astype(np.float32)
+        if x.ndim == 3:
+            flakes = flakes[..., None]
+        return _pil(np.maximum(x, flakes))
+
+
+class Frost(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        rng = _rng(rng)
+        c = [0.2, 0.3, 0.4][mag % 3]
+        x = _np(img)
+        # procedural frost texture (the reference ships frost JPEGs)
+        noise = rng.uniform(size=(x.shape[0] // 4 + 1, x.shape[1] // 4 + 1))
+        import cv2
+
+        tex = cv2.resize(noise.astype(np.float32), (x.shape[1], x.shape[0]))
+        if x.ndim == 3:
+            tex = tex[..., None]
+        return _pil(x * (1 - c) + tex * c)
+
+
+class Rain(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        rng = _rng(rng)
+        n = [30, 50, 70][mag % 3]
+        arr = np.asarray(img).copy()
+        h, w = arr.shape[:2]
+        for _ in range(n):
+            x0 = int(rng.integers(0, w))
+            y0 = int(rng.integers(0, max(1, h - 6)))
+            cv2.line(arr, (x0, y0), (x0 + 2, y0 + 6), (220, 220, 220), 1)
+        return Image.fromarray(arr)
+
+
+class Shadow(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
+        rng = _rng(rng)
+        c = [0.5, 0.4, 0.3][mag % 3]
+        arr = _np(img)
+        h, w = arr.shape[:2]
+        mask = np.zeros((h, w), np.float32)
+        pts = np.asarray([[rng.integers(0, w), 0], [rng.integers(0, w), 0],
+                          [rng.integers(0, w), h], [rng.integers(0, w), h]],
+                         np.int32)
+        cv2.fillPoly(mask, [pts], 1.0)
+        if arr.ndim == 3:
+            mask = mask[..., None]
+        return _pil(arr * (1 - mask * (1 - c)))
+
+
+# ---------------- process ----------------
+
+
+class Posterize(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        bits = [6, 4, 2][mag % 3]
+        return ImageOps.posterize(img.convert("RGB"), bits).convert(img.mode)
+
+
+class Solarize(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        thr = [192, 128, 64][mag % 3]
+        return ImageOps.solarize(img.convert("RGB"), thr).convert(img.mode)
+
+
+class Invert(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        return ImageOps.invert(img.convert("RGB")).convert(img.mode)
+
+
+class Equalize(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        return ImageOps.equalize(img.convert("RGB")).convert(img.mode)
+
+
+class AutoContrast(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        return ImageOps.autocontrast(img.convert("RGB")).convert(img.mode)
+
+
+class Sharpness(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        f = [1.5, 2.0, 2.5][mag % 3]
+        return ImageEnhance.Sharpness(img).enhance(f)
+
+
+class Color(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        f = [1.5, 2.0, 2.5][mag % 3]
+        return ImageEnhance.Color(img.convert("RGB")).enhance(f).convert(img.mode)
+
+
+# ---------------- selector ----------------
+
+GROUPS = {
+    "warp": [Curve(), Distort(), Stretch()],
+    "geometry": [Rotate(), Perspective(), Shrink()],
+    "pattern": [VGrid(), HGrid(), Grid(), RectGrid(), EllipseGrid()],
+    "noise": [GaussianNoise(), ShotNoise(), ImpulseNoise(), SpeckleNoise()],
+    "blur": [GaussianBlur(), DefocusBlur(), MotionBlur(), GlassBlur(), ZoomBlur()],
+    "camera": [Contrast(), Brightness(), JpegCompression(), Pixelate()],
+    "weather": [Fog(), Snow(), Frost(), Rain(), Shadow()],
+    "process": [Posterize(), Solarize(), Invert(), Equalize(), AutoContrast(),
+                Sharpness(), Color()],
+}
+
+
+class RandAugment:
+    """rand_aug semantics (dataset.py:332-345): choose `num_groups` groups
+    without replacement, one random op each, random magnitude 0..2.
+    `intact_prob` leaves the image untouched (dataset.py:323)."""
+
+    def __init__(self, num_groups: int = 2, magnitude: Optional[int] = None,
+                 intact_prob: float = 0.5,
+                 groups: Optional[Sequence[str]] = None, seed: int = 0):
+        self.group_names = list(groups or GROUPS.keys())
+        self.num_groups = min(num_groups, len(self.group_names))
+        self.magnitude = magnitude
+        self.intact_prob = intact_prob
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        if self.rng.uniform() < self.intact_prob:
+            return img
+        chosen = self.rng.choice(self.group_names, self.num_groups, replace=False)
+        for g in chosen:
+            ops = GROUPS[g]
+            op = ops[int(self.rng.integers(0, len(ops)))]
+            mag = (self.magnitude if self.magnitude is not None
+                   else int(self.rng.integers(0, 3)))
+            img = op(img, mag=mag, rng=self.rng)
+        return img
