@@ -1,0 +1,205 @@
+"""Command-line entry points.
+
+Replaces the reference's per-project CLI scripts (train*.py / test*.py /
+demo.py / example.py — SURVEY.md §1 "public interface") with one
+`python -m advancedliteratemachinery_tpu.cli <command>`:
+
+  models                       list registered models/codecs/modules
+  recognize IMG [IMG...]       MGP-STR word-crop recognition
+  read IMG                     general text reading (DB det + MGP-STR rec)
+  structurize IMG              document structurization → JSON
+  bench                        the repo benchmark (same as bench.py)
+
+Checkpoints: --ckpt loads an Orbax checkpoint; --torch-ckpt imports a
+reference .pth (MGP-STR).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_image(path: str):
+    import numpy as np
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def cmd_models(args) -> int:
+    # importing the packages populates the registries
+    import advancedliteratemachinery_tpu.codecs  # noqa: F401
+    import advancedliteratemachinery_tpu.models  # noqa: F401
+    import advancedliteratemachinery_tpu.pipelines  # noqa: F401
+    from advancedliteratemachinery_tpu.core.registry import (
+        CODECS,
+        MODELS,
+        PIPELINE_MODULES,
+    )
+
+    print("models:  ", ", ".join(MODELS))
+    print("codecs:  ", ", ".join(CODECS))
+    print("modules: ", ", ".join(PIPELINE_MODULES))
+    return 0
+
+
+def _mgp_engine(args):
+    import jax
+    import jax.numpy as jnp
+
+    from advancedliteratemachinery_tpu.codecs.char_codec import CharCodec
+    from advancedliteratemachinery_tpu.engine.infer import MGPSTRInference
+    from advancedliteratemachinery_tpu.models.mgp_str import MGPSTR, MGPSTRConfig
+
+    cfg = MGPSTRConfig(variant=args.variant)
+    model = MGPSTR(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 128, 3)))["params"]
+    if getattr(args, "torch_ckpt", None):
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            import_mgp_str,
+            load_torch_state_dict,
+        )
+        import numpy as np
+
+        params = import_mgp_str(load_torch_state_dict(args.torch_ckpt),
+                                jax.tree.map(np.asarray, params))
+    elif getattr(args, "ckpt", None):
+        from advancedliteratemachinery_tpu.engine.checkpoint import restore_checkpoint
+
+        params = restore_checkpoint(args.ckpt, params)
+    return MGPSTRInference(model, params, CharCodec())
+
+
+def cmd_recognize(args) -> int:
+    import cv2
+    import numpy as np
+
+    engine = _mgp_engine(args)
+    crops = []
+    for path in args.images:
+        img = _load_image(path)
+        crops.append(cv2.resize(img, (128, 32)))
+    results = engine.recognize(np.stack(crops))
+    for path, (text, conf, head) in zip(args.images, results):
+        print(json.dumps({"image": path, "text": text,
+                          "confidence": round(conf, 4), "head": head}))
+    return 0
+
+
+def _db_detect_fn(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advancedliteratemachinery_tpu.models.db import (
+        DBConfig,
+        DBDetector,
+        extract_boxes,
+    )
+
+    model = DBDetector(DBConfig())
+    H = W = 640
+    vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    fn = jax.jit(lambda v, x: model.apply(v, x)["prob"])
+
+    def detect(image):
+        import cv2
+
+        h, w = image.shape[:2]
+        x = cv2.resize(image, (W, H)).astype(np.float32) / 255.0
+        prob = np.asarray(fn(vars_, jnp.asarray(x[None])))[0, :, :, 0]
+        quads, scores = extract_boxes(prob, box_thresh=args.det_thresh)
+        if len(quads):
+            quads = quads * np.tile([w / W, h / H], 4)
+        return quads.astype(np.float32), scores
+
+    return detect
+
+
+def cmd_read(args) -> int:
+    from advancedliteratemachinery_tpu.pipelines.document import GeneralTextReading
+    from advancedliteratemachinery_tpu.pipelines.modules import (
+        TextDetection,
+        TextRecognition,
+    )
+
+    engine = _mgp_engine(args)
+    pipe = GeneralTextReading(TextDetection(_db_detect_fn(args)),
+                              TextRecognition(engine.recognize))
+    out = pipe(_load_image(args.image))
+    print(json.dumps(out, indent=2, default=float))
+    return 0
+
+
+def cmd_structurize(args) -> int:
+    import numpy as np
+
+    from advancedliteratemachinery_tpu.pipelines.document import (
+        DocumentStructurization,
+    )
+    from advancedliteratemachinery_tpu.pipelines.modules import (
+        LayoutAnalysis,
+        TextDetection,
+        TextRecognition,
+    )
+
+    engine = _mgp_engine(args)
+
+    def whole_page_layout(image):
+        h, w = image.shape[:2]
+        return (np.asarray([[0, 0, w, 0, w, h, 0, h]], np.float32),
+                np.asarray([1.0]), np.asarray([2]))
+
+    pipe = DocumentStructurization(
+        LayoutAnalysis(whole_page_layout),
+        TextDetection(_db_detect_fn(args)),
+        TextRecognition(engine.recognize))
+    out = pipe(_load_image(args.image))
+    print(json.dumps(out, indent=2, default=float))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+
+    runpy.run_path("bench.py", run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="alm-tpu",
+                                     description=__doc__.split("\n")[0])
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("models", help="list registered components")
+
+    for name, help_ in (("recognize", "recognize word crops (MGP-STR)"),):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("images", nargs="+")
+        p.add_argument("--variant", default="tiny",
+                       choices=["tiny", "small", "base", "large"])
+        p.add_argument("--ckpt")
+        p.add_argument("--torch-ckpt")
+
+    for name, help_ in (("read", "detect + recognize full image"),
+                        ("structurize", "document structurization → JSON")):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("image")
+        p.add_argument("--variant", default="tiny",
+                       choices=["tiny", "small", "base", "large"])
+        p.add_argument("--ckpt")
+        p.add_argument("--torch-ckpt")
+        p.add_argument("--det-thresh", type=float, default=0.3)
+
+    sub.add_parser("bench", help="run the repo benchmark")
+
+    args = parser.parse_args(argv)
+    return {"models": cmd_models, "recognize": cmd_recognize, "read": cmd_read,
+            "structurize": cmd_structurize, "bench": cmd_bench}[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -83,6 +83,65 @@ def _edit_alignment(src: List[int], tgt: List[int]) -> Tuple[List[int], List[int
     return kept, inserted, ins_counts
 
 
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """ctypes binding to native/liblevenshtein.so (build with
+    native/build.sh); the pure-Python DP below is the fallback + oracle."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(here, "native", "liblevenshtein.so")
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.ins_del_targets.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _NATIVE_LIB = lib
+    return lib
+
+
+def ins_del_targets_native(in_tokens: np.ndarray, out_tokens: np.ndarray,
+                           pad: int, unk: int):
+    """Native-accelerated ins_del_targets (same outputs); returns None if
+    the shared library isn't built."""
+    import ctypes
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    in_t = np.ascontiguousarray(in_tokens, np.int32)
+    out_t = np.ascontiguousarray(out_tokens, np.int32)
+    B, Li = in_t.shape
+    Lo = out_t.shape[1]
+    masked = np.zeros((B, Lo), np.uint8)
+    ins_t = np.zeros((B, Li - 1), np.int32)
+    del_t = np.zeros((B, Li), np.int32)
+    lib.ins_del_targets(
+        in_t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        B, Li, Lo, pad,
+        masked.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ins_t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        del_t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    masked_b = masked.astype(bool)
+    masked_tgt_tokens = np.where(masked_b, unk, out_t)
+    return masked_b, masked_tgt_tokens, ins_t.astype(np.int64), del_t.astype(np.int64)
+
+
 def ins_del_targets(in_tokens: np.ndarray, out_tokens: np.ndarray,
                     pad: int, unk: int
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
