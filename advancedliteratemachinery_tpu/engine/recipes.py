@@ -1,0 +1,160 @@
+"""Per-model training recipes: loss builders for the single pjit engine.
+
+Each recipe returns a `loss_fn` compatible with engine.train.make_train_step
+(pure params) or engine.train_extras.make_mutable_train_step (BatchNorm
+models), plus the reference's optimizer settings. This replaces the six
+engine styles in the reference (SURVEY.md §1 L3) with data: model → recipe.
+
+Batches are dictionaries of fixed-shape arrays; all label preprocessing
+(codecs, Levenshtein supervision) happens host-side in the data pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from advancedliteratemachinery_tpu.engine.train import (
+    cross_entropy_ignore_pad,
+    make_optimizer,
+    mgp_str_loss,
+)
+
+
+def mgp_str_recipe(model) -> Tuple[Callable, Any]:
+    """batch: images, char_ids, bpe_ids, wp_ids (train_final_dist.py:150)."""
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params}, batch["images"],
+                          deterministic=False, rngs={"dropout": rng})
+        m = mgp_str_loss(out, batch)
+        return m["loss"], m
+
+    return loss_fn, make_optimizer(lr=1e-4, total_steps=2_000_000, grad_clip=5.0)
+
+
+def lister_recipe(model, cfg) -> Tuple[Callable, Any]:
+    """batch: images [B,32,W,3], mask [B,32,W], labels [B,L], label_lens [B]
+    (train_dist.py: AdamW + cosine, grad clip 20)."""
+    from advancedliteratemachinery_tpu.models.lister import lister_losses
+
+    def loss_fn(params, batch, rng):
+        res = model.apply({"params": params}, batch["images"], batch["mask"],
+                          train=True, rngs={"dropout": rng})
+        m = lister_losses(res, batch["labels"], batch["label_lens"], cfg)
+        return m["loss"], m
+
+    return loss_fn, make_optimizer(lr=8e-4, total_steps=600_000, grad_clip=20.0,
+                                   weight_decay=0.01, warmup_steps=10_000)
+
+
+def omniparser_recipe(model, padding_index: int) -> Tuple[Callable, Any]:
+    """batch: images + input/target seqs per task (engine/train.py:26-41;
+    AdamW, warmup + linear decay, rec weight 2 per train.sh)."""
+    from advancedliteratemachinery_tpu.models.omniparser import omniparser_loss
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params}, batch["images"],
+                          {"pt": batch["pt_in"], "poly": batch["poly_in"],
+                           "rec": batch["rec_in"]},
+                          rngs={"dropout": rng})
+        m = omniparser_loss(out, {"pt": batch["pt_out"],
+                                  "poly": batch["poly_out"],
+                                  "rec": batch["rec_out"]}, padding_index,
+                            weights=(1.0, 1.0, 2.0))
+        return m["loss"], m
+
+    return loss_fn, make_optimizer(lr=5e-4, total_steps=400_000, grad_clip=0.1,
+                                   weight_decay=1e-4, warmup_steps=5_000)
+
+
+def lore_recipe(model) -> Tuple[Callable, Any]:
+    """Mutable (BatchNorm) recipe. batch: images, hm [B,H,W,2], ct_inds,
+    ct_mask, wh_target [B,K,8], logic_target [B,K,4]
+    (src/lib/trains/ctdet.py:18 CtdetLoss weights hm 1 / wh 1 / ax ...)."""
+    from advancedliteratemachinery_tpu.models.lore import (
+        axis_loss,
+        focal_loss,
+        reg_l1_loss,
+    )
+    from advancedliteratemachinery_tpu.ops.heatmap import (
+        gather_feat,
+        sigmoid_clamped,
+    )
+
+    def loss_fn(params, batch_stats, batch, rng):
+        (heads, logic), nv = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"], batch["ct_inds"], batch["ct_mask"],
+            batch.get("gt_boxes"), method=model.train_logic,
+            mutable=["batch_stats"], rngs={"dropout": rng})
+        hm_loss = focal_loss(sigmoid_clamped(heads["hm"]), batch["hm"])
+        wh_pred = gather_feat(heads["wh"], batch["ct_inds"])
+        wh_loss = reg_l1_loss(wh_pred, batch["ct_mask"], batch["wh_target"])
+        ax = axis_loss(logic["logic"], batch["ct_mask"], batch["logic_target"])
+        if "stacked_logic" in logic:
+            ax = ax + axis_loss(logic["stacked_logic"], batch["ct_mask"],
+                                batch["logic_target"])
+        loss = hm_loss + wh_loss + ax
+        m = {"loss": loss, "hm_loss": hm_loss, "wh_loss": wh_loss,
+             "axis_loss": ax}
+        return loss, (m, nv["batch_stats"])
+
+    return loss_fn, make_optimizer(lr=1e-4, total_steps=400_000, grad_clip=5.0)
+
+
+def levocr_recipe(model, cfg) -> Tuple[Callable, Any]:
+    """Mutable (BatchNorm in ABINet/conv) recipe; host supplies noised/
+    masked/word-prediction sequences + alignment targets
+    (ops/levenshtein.ins_del_targets[_native])."""
+    from advancedliteratemachinery_tpu.models.levocr import levt_losses
+
+    def loss_fn(params, batch_stats, batch, rng):
+        res, nv = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"], batch["noised_tokens"], batch["masked_tgt_tokens"],
+            batch["word_predictions"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        m = levt_losses(res, batch, cfg)
+        return m["loss"], (m, nv["batch_stats"])
+
+    return loss_fn, make_optimizer(lr=1e-4, total_steps=1_200_000, grad_clip=5.0)
+
+
+def db_recipe(model, k: float = 50.0, alpha: float = 1.0, beta: float = 10.0
+              ) -> Tuple[Callable, Any]:
+    """DB losses: prob BCE + binary dice-ish BCE + thresh L1 (standard DB).
+    batch: images, gt_prob [B,H,W,1], gt_thresh [B,H,W,1], thresh_mask."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, nv = model.apply({"params": params, "batch_stats": batch_stats},
+                              batch["images"], train=True,
+                              mutable=["batch_stats"])
+
+        def bce(p, t):
+            p = jnp.clip(p, 1e-6, 1 - 1e-6)
+            return -jnp.mean(t * jnp.log(p) + (1 - t) * jnp.log(1 - p))
+
+        l_prob = bce(out["prob"], batch["gt_prob"])
+        l_bin = bce(out["binary"], batch["gt_prob"])
+        tm = batch.get("thresh_mask", jnp.ones_like(batch["gt_thresh"]))
+        l_thresh = jnp.sum(jnp.abs(out["thresh"] - batch["gt_thresh"]) * tm
+                           ) / jnp.maximum(jnp.sum(tm), 1.0)
+        loss = l_prob + alpha * l_bin + beta * l_thresh
+        m = {"loss": loss, "prob_loss": l_prob, "binary_loss": l_bin,
+             "thresh_loss": l_thresh}
+        return loss, (m, nv["batch_stats"])
+
+    return loss_fn, make_optimizer(lr=7e-3, total_steps=100_000, grad_clip=5.0)
+
+
+RECIPES: Dict[str, Callable] = {
+    "mgp_str": mgp_str_recipe,
+    "lister": lister_recipe,
+    "omniparser": omniparser_recipe,
+    "lore": lore_recipe,
+    "levocr": levocr_recipe,
+    "db_detector": db_recipe,
+}
