@@ -41,3 +41,17 @@ class Policy:
 
 DEFAULT_POLICY = Policy()
 FP32_POLICY = Policy(compute_dtype=jnp.float32)
+
+
+def gelu(x):
+    """Dtype-aware GELU.
+
+    torch nn.GELU (the reference) is the exact erf form, which matters for
+    fp32 checkpoint-parity checks. In bf16 the exact-vs-tanh deviation
+    (~1e-3) is below bf16 rounding (eps ≈ 7.8e-3), while exact erf costs
+    ~1.7x on the VPU — so bf16 compute uses the tanh approximation.
+    """
+    import flax.linen as nn
+
+    approx = x.dtype == jnp.bfloat16
+    return nn.gelu(x, approximate=approx)

@@ -24,7 +24,7 @@ import numpy as np
 from flax import linen as nn
 
 from advancedliteratemachinery_tpu.core.config import ConfigBase
-from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
+from advancedliteratemachinery_tpu.core.precision import gelu as _gelu, Policy, DEFAULT_POLICY
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,7 +103,7 @@ class BrosLayer(nn.Module):
                          name="attn_norm")(x + h).astype(p.compute_dtype)
         h = nn.Dense(cfg.intermediate_size, dtype=p.compute_dtype,
                      param_dtype=p.param_dtype, name="ffn1")(x)
-        h = nn.gelu(h, approximate=False)
+        h = _gelu(h)
         h = nn.Dense(cfg.hidden_size, dtype=p.compute_dtype,
                      param_dtype=p.param_dtype, name="ffn2")(h)
         return nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,

@@ -15,7 +15,7 @@ import numpy as np
 from flax import linen as nn
 
 from advancedliteratemachinery_tpu.core.config import ConfigBase
-from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
+from advancedliteratemachinery_tpu.core.precision import gelu as _gelu, Policy, DEFAULT_POLICY
 from advancedliteratemachinery_tpu.models.layers import DropPath
 
 
@@ -36,7 +36,7 @@ class ConvNeXtBlock(nn.Module):
         h = h.astype(p.compute_dtype)
         h = nn.Dense(4 * self.dim, dtype=p.compute_dtype, param_dtype=p.param_dtype,
                      name="pwconv1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = _gelu(h)
         h = nn.Dense(self.dim, dtype=p.compute_dtype, param_dtype=p.param_dtype,
                      name="pwconv2")(h)
         gamma = self.param("gamma", nn.initializers.constant(self.layerscale_value),

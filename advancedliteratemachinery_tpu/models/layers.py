@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
+from advancedliteratemachinery_tpu.core.precision import gelu as _policy_gelu
 
 Dtype = jnp.dtype
 
@@ -46,7 +47,7 @@ class Mlp(nn.Module):
     out_dim: int
     dropout: float = 0.0
     policy: Policy = DEFAULT_POLICY
-    act: Callable = partial(nn.gelu, approximate=False)
+    act: Callable = _policy_gelu
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):

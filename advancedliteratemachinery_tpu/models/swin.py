@@ -27,9 +27,10 @@ from advancedliteratemachinery_tpu.models.layers import DropPath
 
 
 def _gelu(x):
-    """Exact (erf) GELU — matches torch nn.GELU for checkpoint parity."""
-    from flax import linen as _nn
-    return _nn.gelu(x, approximate=False)
+    """Dtype-aware GELU (exact in fp32 for parity, tanh in bf16 for speed —
+    see core.precision.gelu)."""
+    from advancedliteratemachinery_tpu.core.precision import gelu
+    return gelu(x)
 
 
 

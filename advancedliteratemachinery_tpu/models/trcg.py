@@ -29,7 +29,7 @@ import numpy as np
 from flax import linen as nn
 
 from advancedliteratemachinery_tpu.core.config import ConfigBase
-from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
+from advancedliteratemachinery_tpu.core.precision import gelu as _gelu, Policy, DEFAULT_POLICY
 from advancedliteratemachinery_tpu.core.registry import MODELS
 from advancedliteratemachinery_tpu.models.vit import VisionTransformer, ViTConfig
 
@@ -141,7 +141,7 @@ class TRCG(nn.Module):
             images, deterministic=deterministic)[:, 1:]   # drop cls
         vis = nn.Dense(cfg.hidden_size, dtype=p.compute_dtype,
                        param_dtype=p.param_dtype, name="mm_projector_fc1")(vis)
-        vis = nn.gelu(vis, approximate=False)
+        vis = _gelu(vis)
         vis = nn.Dense(cfg.hidden_size, dtype=p.compute_dtype,
                        param_dtype=p.param_dtype, name="mm_projector_fc2")(vis)
 

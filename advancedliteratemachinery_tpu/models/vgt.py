@@ -29,7 +29,7 @@ import numpy as np
 from flax import linen as nn
 
 from advancedliteratemachinery_tpu.core.config import ConfigBase
-from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
+from advancedliteratemachinery_tpu.core.precision import gelu as _gelu, Policy, DEFAULT_POLICY
 from advancedliteratemachinery_tpu.core.registry import MODELS
 from advancedliteratemachinery_tpu.models.layers import EncoderBlock, Mlp
 
@@ -203,7 +203,7 @@ class VGTBackbone(nn.Module):
                 x = nn.ConvTranspose(D // 2, (2, 2), (2, 2), dtype=p.compute_dtype,
                                      param_dtype=p.param_dtype,
                                      name=f"{prefix}fpn1_deconv1")(x)
-                x = nn.gelu(x, approximate=False)
+                x = _gelu(x)
                 x = nn.ConvTranspose(D // 4, (2, 2), (2, 2), dtype=p.compute_dtype,
                                      param_dtype=p.param_dtype,
                                      name=f"{prefix}fpn1_deconv2")(x)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from advancedliteratemachinery_tpu.core.config import ConfigBase
-from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
+from advancedliteratemachinery_tpu.core.precision import gelu as _gelu, Policy, DEFAULT_POLICY
 from advancedliteratemachinery_tpu.core.registry import MODELS
 from advancedliteratemachinery_tpu.models.db import ConvBNRelu, ResBlock
 
@@ -69,7 +69,7 @@ class TransformerEncoderLayer(nn.Module):
                          name="norm1")(x + o).astype(p.compute_dtype)
         h = nn.Dense(4 * D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
                      name="ff1")(x)
-        h = nn.gelu(h, approximate=False)
+        h = _gelu(h)
         h = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
                      name="ff2")(h)
         return nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
@@ -189,7 +189,7 @@ class VLPT(nn.Module):
         for layer in self.co_layers_mods:
             co = layer(co, co_mask)
         h = self.mlm_dense(co[:, : text.shape[1]])
-        h = nn.gelu(h, approximate=False)
+        h = _gelu(h)
         h = self.mlm_norm(h).astype(self.policy.compute_dtype)
         mlm_logits = (jnp.einsum("btc,vc->btv", h,
                                  self.word_embeddings.embedding.astype(h.dtype))
