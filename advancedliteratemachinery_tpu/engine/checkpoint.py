@@ -142,6 +142,58 @@ def _grouped_from_torch(w: np.ndarray, groups: int) -> np.ndarray:
                      for g in range(groups)], axis=0)
 
 
+def resize_embedding(new_params: Dict, old_params: Dict,
+                     replace_paths: list, added_rows: int) -> Dict:
+    """Checkpoint surgery when fine-tuning adds vocabulary entries
+    (reference OmniParser utils/checkpointer.py:9 resize_embedding: the old
+    weights fill rows [:-added_rows] of the grown tables; all other keys
+    copy over). Paths are tuples of keys into the param tree."""
+    import copy
+
+    out = jax.tree.map(np.asarray, new_params)
+
+    def get(tree, path):
+        for k in path:
+            tree = tree[k]
+        return tree
+
+    def setval(tree, path, val):
+        for k in path[:-1]:
+            tree = tree[k]
+        tree[path[-1]] = val
+
+    flat_new, _ = jax.tree_util.tree_flatten_with_path(out)
+    replace = {tuple(str(getattr(k, "key", k)) for k in p) for p in
+               [tuple(rp) for rp in replace_paths]}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(out)[0]:
+        key = tuple(str(getattr(k, "key", k)) for k in path)
+        old = old_params
+        try:
+            for k in key:
+                old = old[k]
+        except (KeyError, TypeError):
+            continue
+        old = np.asarray(old)
+        if key in replace:
+            grown = np.asarray(leaf).copy()
+            # rows grow on axis 0 for embeddings/biases, axis -1 for kernels
+            if grown.shape[0] == old.shape[0] + added_rows and \
+                    grown.shape[1:] == old.shape[1:]:
+                grown[:-added_rows] = old
+            elif grown.ndim >= 1 and grown.shape[-1] == old.shape[-1] + added_rows:
+                grown[..., :-added_rows] = old
+            else:
+                raise ValueError(f"unexpected resize shapes {old.shape} → "
+                                 f"{grown.shape} at {key}")
+            setval(out, [getattr(k, "key", k) for k in path], grown)
+        else:
+            if old.shape != np.asarray(leaf).shape:
+                raise ValueError(f"shape mismatch at {key}: {old.shape} vs "
+                                 f"{np.asarray(leaf).shape}")
+            setval(out, [getattr(k, "key", k) for k in path], old)
+    return out
+
+
 TORCH_IMPORTERS: Dict[str, Callable] = {
     "mgp_str": import_mgp_str,
 }

@@ -77,8 +77,13 @@ class MultiHeadSelfAttention(nn.Module):
 
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=c,
                        param_dtype=self.policy.param_dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, H, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
+        # contiguous last-axis split (measured slightly faster than the
+        # interleaved [B,N,3,H,hd] reshape+index on v5e); layout matches
+        # timm's qkv weight (q rows first, then k, then v)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, H, head_dim)
+        k = k.reshape(B, N, H, head_dim)
+        v = v.reshape(B, N, H, head_dim)
 
         # explicit einsum attention: measured 1.56x faster than
         # jax.nn.dot_product_attention on v5e for short OCR sequences
