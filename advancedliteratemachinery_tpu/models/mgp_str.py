@@ -98,6 +98,9 @@ class MGPSTRConfig(ConfigBase):
     drop_path: float = 0.0
     # explicit backbone override (None → the named variant)
     vit: "ViTConfig" = None
+    # which granularity heads to build: ("char",) gives the reference's
+    # char-str variant (models.py:31 Transformer == "char-str")
+    heads: tuple = ("char", "bpe", "wp")
 
     @property
     def max_tokens(self) -> int:
@@ -134,11 +137,12 @@ class MGPSTR(nn.Module):
         )
 
         out: Dict[str, jnp.ndarray] = {}
-        heads = [
-            ("char", cfg.num_char_classes),
-            ("bpe", cfg.padded_vocab(cfg.bpe_vocab_size)),
-            ("wp", cfg.padded_vocab(cfg.wp_vocab_size)),
-        ]
+        all_heads = {
+            "char": cfg.num_char_classes,
+            "bpe": cfg.padded_vocab(cfg.bpe_vocab_size),
+            "wp": cfg.padded_vocab(cfg.wp_vocab_size),
+        }
+        heads = [(n, all_heads[n]) for n in cfg.heads]
         for name, vocab in heads:
             attn, tokens = TokenLearner(cfg.max_tokens, policy=p,
                                         name=f"{name}_token_learner")(feats)
