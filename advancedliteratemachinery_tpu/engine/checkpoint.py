@@ -194,6 +194,62 @@ def resize_embedding(new_params: Dict, old_params: Dict,
     return out
 
 
+def import_swin(sd: Dict[str, np.ndarray], params: Dict,
+                prefix: str = "") -> Dict:
+    """Map a timm/microsoft Swin checkpoint (swin_base_patch4_window7_224
+    layout — the backbone OmniParser initializes from, parser.py:37) onto
+    our SwinTransformer param tree.
+
+    torch keys: patch_embed.proj/.norm, layers.{s}.blocks.{b}.{norm1,
+    attn.{qkv,proj,relative_position_bias_table},norm2,mlp.fc1/fc2},
+    layers.{s}.downsample.{reduction,norm}. The relative_position_index
+    buffer is recomputed here, not imported."""
+    out = jax.tree.map(np.asarray, params)
+    p = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    out["patch_embed"]["kernel"] = conv_kernel(p["patch_embed.proj.weight"])
+    out["patch_embed"]["bias"] = p["patch_embed.proj.bias"]
+    out["patch_norm"]["scale"] = p["patch_embed.norm.weight"]
+    out["patch_norm"]["bias"] = p["patch_embed.norm.bias"]
+
+    stage = 0
+    block = 0
+    while f"stage{stage}_block0" in out:
+        b = 0
+        while f"stage{stage}_block{b}" in out:
+            dst = out[f"stage{stage}_block{b}"]
+            pre = f"layers.{stage}.blocks.{b}."
+            dst["norm1"]["scale"] = p[pre + "norm1.weight"]
+            dst["norm1"]["bias"] = p[pre + "norm1.bias"]
+            dst["attn"]["qkv"]["kernel"] = linear_kernel(p[pre + "attn.qkv.weight"])
+            dst["attn"]["qkv"]["bias"] = p[pre + "attn.qkv.bias"]
+            dst["attn"]["proj"]["kernel"] = linear_kernel(p[pre + "attn.proj.weight"])
+            dst["attn"]["proj"]["bias"] = p[pre + "attn.proj.bias"]
+            dst["attn"]["relative_position_bias_table"] = \
+                p[pre + "attn.relative_position_bias_table"]
+            dst["norm2"]["scale"] = p[pre + "norm2.weight"]
+            dst["norm2"]["bias"] = p[pre + "norm2.bias"]
+            dst["mlp_fc1"]["kernel"] = linear_kernel(p[pre + "mlp.fc1.weight"])
+            dst["mlp_fc1"]["bias"] = p[pre + "mlp.fc1.bias"]
+            dst["mlp_fc2"]["kernel"] = linear_kernel(p[pre + "mlp.fc2.weight"])
+            dst["mlp_fc2"]["bias"] = p[pre + "mlp.fc2.bias"]
+            b += 1
+        if f"merge{stage}" in out:
+            pre = f"layers.{stage}.downsample."
+            out[f"merge{stage}"]["reduction"]["kernel"] = linear_kernel(
+                p[pre + "reduction.weight"])
+            out[f"merge{stage}"]["norm"]["scale"] = p[pre + "norm.weight"]
+            out[f"merge{stage}"]["norm"]["bias"] = p[pre + "norm.bias"]
+        # per-stage output norms (OmniParser adds norm{i}; classification
+        # checkpoints lack them → keep the identity init)
+        if f"norm{stage}.weight" in p and f"out_norm{stage}" in out:
+            out[f"out_norm{stage}"]["scale"] = p[f"norm{stage}.weight"]
+            out[f"out_norm{stage}"]["bias"] = p[f"norm{stage}.bias"]
+        stage += 1
+    return jax.tree.map(jnp.asarray, out)
+
+
 TORCH_IMPORTERS: Dict[str, Callable] = {
     "mgp_str": import_mgp_str,
+    "swin": import_swin,
 }

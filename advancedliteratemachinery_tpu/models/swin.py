@@ -233,10 +233,13 @@ class SwinTransformer(nn.Module):
                               mlp_ratio=cfg.mlp_ratio, drop_path=float(dpr[di]),
                               policy=p, name=f"stage{s}_block{b}")(x, deterministic)
                 di += 1
+            # per-stage output norm (OmniParser swin_transformer.py:547-550)
+            xo = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
+                              name=f"out_norm{s}")(x).astype(p.compute_dtype)
             # stage output mask at current resolution
             sh, sw = x.shape[1], x.shape[2]
             m = jax.image.resize(mask, (B, sh, sw), method="nearest")
-            feats.append(x * m[..., None].astype(x.dtype))
+            feats.append(xo * m[..., None].astype(xo.dtype))
             masks.append(m)
             if s < len(cfg.depths) - 1:
                 x = PatchMerging(dim, policy=p, name=f"merge{s}")(x)
