@@ -249,7 +249,84 @@ def import_swin(sd: Dict[str, np.ndarray], params: Dict,
     return jax.tree.map(jnp.asarray, out)
 
 
+def import_focalnet(sd: Dict[str, np.ndarray], params: Dict,
+                    prefix: str = "encoder.") -> Dict:
+    """Map a LISTER FocalNet-lrf state dict (OCR/LISTER/model/
+    feature_extractor.py) onto our FocalNet param tree.
+
+    torch keys: patch_embed.proj.{conv0,norm0,conv1_0,norm_1,conv1_1,
+    conv2_0,norm2,conv2_1,conv3} (Stem), layers.{s}.blocks.{b}.{norm1,
+    modulation.{f,h,proj,focal_layers.{l}.0},norm2,mlp.fc1/fc2,gamma_1/2},
+    layers.{s}.downsample.proj (MaskedConv) + .norm, final `norm`."""
+    out = jax.tree.map(np.asarray, params)
+    p = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    stem = out["stem"]
+    sp = "patch_embed.proj."
+    for ours, theirs, is_conv in (
+            ("conv0", "conv0", True), ("norm0", "norm0", False),
+            ("conv1_0", "conv1_0", True), ("norm1", "norm_1", False),
+            ("conv1_1", "conv1_1", True), ("conv2_0", "conv2_0", True),
+            ("norm2", "norm2", False), ("conv2_1", "conv2_1", True)):
+        if is_conv:
+            stem[ours]["Conv_0"]["kernel"] = conv_kernel(p[sp + theirs + ".weight"])
+            stem[ours]["Conv_0"]["bias"] = p[sp + theirs + ".bias"]
+        else:
+            stem[ours]["scale"] = p[sp + theirs + ".weight"]
+            stem[ours]["bias"] = p[sp + theirs + ".bias"]
+    stem["conv3"]["kernel"] = linear_kernel(p[sp + "conv3.weight"])
+    stem["conv3"]["bias"] = p[sp + "conv3.bias"]
+    if "patch_embed.norm.weight" in p:
+        out["stem_norm"]["scale"] = p["patch_embed.norm.weight"]
+        out["stem_norm"]["bias"] = p["patch_embed.norm.bias"]
+
+    s = 0
+    while f"stage{s}_block0" in out:
+        b = 0
+        while f"stage{s}_block{b}" in out:
+            dst = out[f"stage{s}_block{b}"]
+            pre = f"layers.{s}.blocks.{b}."
+            dst["norm1"]["scale"] = p[pre + "norm1.weight"]
+            dst["norm1"]["bias"] = p[pre + "norm1.bias"]
+            mod = dst["modulation"]
+            mp = pre + "modulation."
+            mod["f"]["kernel"] = linear_kernel(p[mp + "f.weight"])
+            mod["f"]["bias"] = p[mp + "f.bias"]
+            mod["h"]["kernel"] = p[mp + "h.weight"][:, :, 0, 0].T
+            mod["h"]["bias"] = p[mp + "h.bias"]
+            mod["proj"]["kernel"] = linear_kernel(p[mp + "proj.weight"])
+            mod["proj"]["bias"] = p[mp + "proj.bias"]
+            level = 0
+            while f"focal_{level}" in mod:
+                mod[f"focal_{level}"]["kernel"] = conv_kernel(
+                    p[mp + f"focal_layers.{level}.0.weight"])
+                level += 1
+            dst["norm2"]["scale"] = p[pre + "norm2.weight"]
+            dst["norm2"]["bias"] = p[pre + "norm2.bias"]
+            dst["mlp_fc1"]["kernel"] = linear_kernel(p[pre + "mlp.fc1.weight"])
+            dst["mlp_fc1"]["bias"] = p[pre + "mlp.fc1.bias"]
+            dst["mlp_fc2"]["kernel"] = linear_kernel(p[pre + "mlp.fc2.weight"])
+            dst["mlp_fc2"]["bias"] = p[pre + "mlp.fc2.bias"]
+            if pre + "gamma_1" in p:
+                dst["gamma_1"] = p[pre + "gamma_1"]
+                dst["gamma_2"] = p[pre + "gamma_2"]
+            b += 1
+        if f"downsample{s}" in out:
+            pre = f"layers.{s}.downsample."
+            ds = out[f"downsample{s}"]["Conv_0"]
+            ds["kernel"] = conv_kernel(p[pre + "proj.weight"])
+            ds["bias"] = p[pre + "proj.bias"]
+            out[f"ds_norm{s}"]["scale"] = p[pre + "norm.weight"]
+            out[f"ds_norm{s}"]["bias"] = p[pre + "norm.bias"]
+        s += 1
+
+    out["norm"]["scale"] = p["norm.weight"]
+    out["norm"]["bias"] = p["norm.bias"]
+    return jax.tree.map(jnp.asarray, out)
+
+
 TORCH_IMPORTERS: Dict[str, Callable] = {
     "mgp_str": import_mgp_str,
     "swin": import_swin,
+    "focalnet": import_focalnet,
 }

@@ -63,8 +63,13 @@ class MaskedConv(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         x = x * mask[..., None].astype(x.dtype)
+        # torch-style symmetric padding ((k-1)//2 per side): flax "SAME"
+        # pads asymmetrically for stride-2 odd kernels, which shifts the
+        # sampling grid and breaks checkpoint parity
+        kh, kw = self.kernel_size
+        pad = ((int((kh - 1) // 2),) * 2, (int((kw - 1) // 2),) * 2)
         x = nn.Conv(
-            self.features, self.kernel_size, strides=self.strides, padding="SAME",
+            self.features, self.kernel_size, strides=self.strides, padding=pad,
             feature_group_count=self.groups, use_bias=self.use_bias,
             dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
         )(x)
@@ -241,6 +246,10 @@ class FocalNet(nn.Module):
 
         x = x.astype(p.compute_dtype)
         x, mask = Stem(cfg.stage_dims[0], policy=p, name="stem")(x, mask)
+        # post-stem patch norm (reference DownsamplingLayer(is_stem=True)
+        # applies LN after flattening, feature_extractor.py:371)
+        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
+                         name="stem_norm")(x).astype(p.compute_dtype)
 
         import numpy as np
         dpr = [float(r) for r in
