@@ -68,6 +68,25 @@ def linear_kernel(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
 
+def _validate_shapes(ref: Dict, imported: Dict, importer: str) -> Dict:
+    """Fail at import time (not at apply time) if any imported leaf's shape
+    disagrees with the model's param tree — catches variant mismatches whose
+    keys happen to line up."""
+    def named(tree):
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        return {"/".join(str(getattr(k, "key", k)) for k in path): leaf
+                for path, leaf in flat}
+
+    expect = {k: np.shape(v) for k, v in named(ref).items()}
+    for name, leaf in named(imported).items():
+        if name in expect and expect[name] != np.shape(leaf):
+            raise ValueError(
+                f"{importer}: checkpoint leaf '{name}' has shape "
+                f"{np.shape(leaf)} but the model expects {expect[name]} — "
+                f"wrong variant/config for this checkpoint?")
+    return imported
+
+
 def import_mgp_str(sd: Dict[str, np.ndarray], params: Dict,
                    vocab_pad_multiple: int = 128) -> Dict:
     """Map an MGP-STR torch checkpoint (timm ViT + TokenLearners + heads,
@@ -127,7 +146,7 @@ def import_mgp_str(sd: Dict[str, np.ndarray], params: Dict,
         pb[: hb.shape[0]] = hb
         out[f"{head}_head"]["bias"] = pb
 
-    return jax.tree.map(jnp.asarray, out)
+    return jax.tree.map(jnp.asarray, _validate_shapes(params, out, 'import_mgp_str'))
 
 
 def _grouped_from_torch(w: np.ndarray, groups: int) -> np.ndarray:
@@ -246,7 +265,7 @@ def import_swin(sd: Dict[str, np.ndarray], params: Dict,
             out[f"out_norm{stage}"]["scale"] = p[f"norm{stage}.weight"]
             out[f"out_norm{stage}"]["bias"] = p[f"norm{stage}.bias"]
         stage += 1
-    return jax.tree.map(jnp.asarray, out)
+    return jax.tree.map(jnp.asarray, _validate_shapes(params, out, 'import_swin'))
 
 
 def import_focalnet(sd: Dict[str, np.ndarray], params: Dict,
@@ -322,7 +341,7 @@ def import_focalnet(sd: Dict[str, np.ndarray], params: Dict,
 
     out["norm"]["scale"] = p["norm.weight"]
     out["norm"]["bias"] = p["norm.bias"]
-    return jax.tree.map(jnp.asarray, out)
+    return jax.tree.map(jnp.asarray, _validate_shapes(params, out, 'import_focalnet'))
 
 
 TORCH_IMPORTERS: Dict[str, Callable] = {
