@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,12 +43,17 @@ class ConvBN(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     relu: bool = True
     use_bias: bool = False
+    padding: Optional[Tuple[Tuple[int, int], ...]] = None
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.policy
-        x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME",
+        # torch-style symmetric (k-1)//2 padding (flax SAME is asymmetric at
+        # stride>1, shifting the grid vs torch checkpoints — see MaskedConv)
+        pad = self.padding if self.padding is not None else \
+            tuple(((k - 1) // 2, (k - 1) // 2) for k in self.kernel)
+        x = nn.Conv(self.features, self.kernel, self.strides, padding=pad,
                     use_bias=self.use_bias, dtype=p.compute_dtype,
                     param_dtype=p.param_dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,

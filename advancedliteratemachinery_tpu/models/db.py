@@ -41,7 +41,10 @@ class ConvBNRelu(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.policy
-        x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME",
+        # torch-style symmetric (k-1)//2 padding (flax SAME is asymmetric at
+        # stride>1, shifting the grid vs torch checkpoints — see MaskedConv)
+        x = nn.Conv(self.features, self.kernel, self.strides,
+                    padding=[((k - 1) // 2, (k - 1) // 2) for k in self.kernel],
                     use_bias=False, dtype=p.compute_dtype,
                     param_dtype=p.param_dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
@@ -90,7 +93,8 @@ class DBDetector(nn.Module):
         w = cfg.width
         x = ConvBNRelu(w, (7, 7), (2, 2), policy=p, name="stem")(
             images.astype(p.compute_dtype), train)
-        x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")
+        # torch MaxPool2d(3, 2, padding=1): symmetric, unlike SAME at stride 2
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         feats = []
         for s, (planes, stride) in enumerate([(w, 1), (2 * w, 2), (4 * w, 2), (8 * w, 2)]):
             for b in range(2):

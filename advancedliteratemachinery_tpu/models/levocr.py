@@ -240,18 +240,20 @@ class LevOCR(nn.Module):
         cfg = self.config
         p = self.policy
         self.vision = ABINetVision(cfg.vision, policy=p)
-        self.img_conv1 = ConvBN(512, (2, 2), (2, 1), policy=p)
-        self.img_conv2 = ConvBN(512, (2, 2), (1, 1), policy=p)
+        vdim = cfg.vision.d_model  # 512 in the reference (ResNet45 out)
+        self.img_conv1 = ConvBN(vdim, (2, 2), (2, 1), padding=((0, 0), (1, 1)),
+                                policy=p)
+        self.img_conv2 = ConvBN(vdim, (2, 2), (1, 1), padding=((0, 0), (0, 0)),
+                                policy=p)
         self.text_encoder = LevtTextEncoder(cfg, policy=p)
         self.decoder = LevtFusionDecoder(cfg, policy=p)
 
     def extract_img_feature(self, fmap, train: bool = False):
-        """models.py:160: [B,8,32,512] → two convs → [B, T_img, 512].
-        (torch pads (0,1) on W for conv1 and none for conv2 — SAME/VALID
-        combination below mirrors the resulting 96-token shape.)"""
-        x = self.img_conv1(fmap, train)       # SAME: [B,4,32,512]
-        x = self.img_conv2(x, train)          # SAME: [B,4,32,512] → crop to 3x32
-        x = x[:, :3]
+        """models.py:160: [B,8,32,512] → 2x2 s(2,1) p(0,1) conv then 2x2 s1
+        p0 conv → [B, 96, 512] (exact torch padding, so imported checkpoints
+        see the same sampling grid)."""
+        x = self.img_conv1(fmap, train)       # [B,4,33,512]
+        x = self.img_conv2(x, train)          # [B,3,32,512]
         B = x.shape[0]
         return x.reshape(B, -1, x.shape[-1])  # [B, 96, 512]
 
@@ -267,8 +269,11 @@ class LevOCR(nn.Module):
         online word-prediction → deletion-target step is split so the host
         can compute alignment labels between the two passes).
 
-        Returns vision logits + mask_ins/word_ins logits (+ word_del logits
-        if word_predictions_input given)."""
+        Returns vision logits + mask_ins/word_ins/word_del logits. When
+        word_predictions_input is None the deletion head runs on the noised
+        tokens instead, so init() always creates every parameter refine()
+        needs (otherwise eval after a default init fails with
+        ScopeParamNotFoundError on word_del_emb)."""
         out, img_feature = self.encode_image(images, train)
         res = {"vision_logits": out["logits"]}
 
@@ -278,9 +283,10 @@ class LevOCR(nn.Module):
         text_feat_m = self.text_encoder(masked_tgt_tokens)
         res["word_ins_logits"] = self.decoder.word_ins(text_feat_m, img_feature)
 
-        if word_predictions_input is not None:
-            text_feat_w = self.text_encoder(word_predictions_input)
-            res["word_del_logits"] = self.decoder.word_del(text_feat_w, img_feature)
+        if word_predictions_input is None:
+            word_predictions_input = noised_tokens
+        text_feat_w = self.text_encoder(word_predictions_input)
+        res["word_del_logits"] = self.decoder.word_del(text_feat_w, img_feature)
         return res
 
     def refine(self, images) -> Dict[str, jnp.ndarray]:
