@@ -344,8 +344,107 @@ def import_focalnet(sd: Dict[str, np.ndarray], params: Dict,
     return jax.tree.map(jnp.asarray, _validate_shapes(params, out, 'import_focalnet'))
 
 
+def _dcn_offset_perm(K: int) -> np.ndarray:
+    """torch DCNv2 conv_offset_mask emits interleaved (y_k, x_k) pairs then
+    K mask channels (dcn_v2.py:147 + the CUDA kernel's 2k/2k+1 indexing);
+    our DeformConv2d splits [dy*K, dx*K, mask*K]."""
+    return np.concatenate([np.arange(K) * 2, np.arange(K) * 2 + 1,
+                           2 * K + np.arange(K)])
+
+
+def import_dla(sd: Dict[str, np.ndarray], variables: Dict,
+               prefix: str = "") -> Dict:
+    """Map a LORE-TSR / CenterNet DLASeg (ctdet) state dict onto our DLASeg
+    variables (reference pose_dla_dcn.py: DLA :224, DLAUp :390, IDAUp :361,
+    DeformConv :346, heads :443). Takes and returns the FULL flax variables
+    dict ({"params", "batch_stats"}) because BatchNorm running stats live in
+    their own collection.
+
+    Note: the DCN *sampling* parity (offset sign/interleave conventions of
+    ops.deform_conv2d vs the reference CUDA kernel) is asserted structurally
+    via _dcn_offset_perm; weight/bias/BN parity is covered by the mirror
+    test with zero offsets."""
+    out = jax.tree.map(np.asarray, variables)
+    pr, st = out["params"], out["batch_stats"]
+    p = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    def bn(dst_p, dst_s, t):
+        dst_p["scale"] = p[t + ".weight"]
+        dst_p["bias"] = p[t + ".bias"]
+        dst_s["mean"] = p[t + ".running_mean"]
+        dst_s["var"] = p[t + ".running_var"]
+
+    def cbr(dst_p, dst_s, tconv, tbn):
+        dst_p["conv"]["kernel"] = conv_kernel(p[tconv + ".weight"])
+        bn(dst_p["bn"], dst_s["bn"], tbn)
+
+    def basic_block(dst_p, dst_s, pre):
+        cbr(dst_p["conv1"], dst_s["conv1"], pre + ".conv1", pre + ".bn1")
+        cbr(dst_p["conv2"], dst_s["conv2"], pre + ".conv2", pre + ".bn2")
+
+    def tree(dst_p, dst_s, pre):
+        if pre + ".conv1.weight" in p:              # leaf BasicBlock
+            basic_block(dst_p, dst_s, pre)
+            return
+        if pre + ".project.0.weight" in p:
+            cbr(dst_p["project"], dst_s["project"],
+                pre + ".project.0", pre + ".project.1")
+        if pre + ".root.conv.weight" in p:
+            cbr(dst_p["root"]["conv"], dst_s["root"]["conv"],
+                pre + ".root.conv", pre + ".root.bn")
+        tree(dst_p["tree1"], dst_s["tree1"], pre + ".tree1")
+        tree(dst_p["tree2"], dst_s["tree2"], pre + ".tree2")
+
+    base_p, base_s = pr["base"], st["base"]
+    cbr(base_p["base_layer"], base_s["base_layer"],
+        "base.base_layer.0", "base.base_layer.1")
+    cbr(base_p["level0"], base_s["level0"], "base.level0.0", "base.level0.1")
+    cbr(base_p["level1"], base_s["level1"], "base.level1.0", "base.level1.1")
+    for lv in range(2, 6):
+        tree(base_p[f"level{lv}"], base_s[f"level{lv}"], f"base.level{lv}")
+
+    def dcn_block(dst_p, dst_s, pre):
+        w = p[pre + ".conv.weight"]
+        dst_p["dcn"]["kernel"] = conv_kernel(w)
+        dst_p["dcn"]["bias"] = p[pre + ".conv.bias"]
+        K = w.shape[2] * w.shape[3]
+        perm = _dcn_offset_perm(K)
+        om = dst_p["dcn"]["conv_offset_mask"]
+        om["kernel"] = conv_kernel(p[pre + ".conv.conv_offset_mask.weight"][perm])
+        om["bias"] = p[pre + ".conv.conv_offset_mask.bias"][perm]
+        bn(dst_p["bn"], dst_s["bn"], pre + ".actf.0")
+
+    def ida(dst_p, dst_s, pre):
+        j = 1
+        while pre + f".proj_{j}.conv.weight" in p:
+            dcn_block(dst_p[f"proj_{j}"], dst_s[f"proj_{j}"], pre + f".proj_{j}")
+            dcn_block(dst_p[f"node_{j}"], dst_s[f"node_{j}"], pre + f".node_{j}")
+            if f"up_{j}" in dst_p:   # factor-1 ups have no kernel
+                dst_p[f"up_{j}"]["kernel"] = np.transpose(
+                    p[pre + f".up_{j}.weight"][:, 0], (1, 2, 0))
+            j += 1
+
+    i = 0
+    while f"dla_up.ida_{i}.proj_1.conv.weight" in p:
+        ida(pr["dla_up"][f"ida_{i}"], st["dla_up"][f"ida_{i}"],
+            f"dla_up.ida_{i}")
+        i += 1
+    ida(pr["ida_up"], st["ida_up"], "ida_up")
+
+    heads = sorted({k.split(".")[0] for k in p
+                    if k.endswith(".weight") and k.split(".")[0] + "_conv1" in pr})
+    for head in heads:
+        pr[f"{head}_conv1"]["kernel"] = conv_kernel(p[head + ".0.weight"])
+        pr[f"{head}_conv1"]["bias"] = p[head + ".0.bias"]
+        pr[f"{head}_out"]["kernel"] = conv_kernel(p[head + ".2.weight"])
+        pr[f"{head}_out"]["bias"] = p[head + ".2.bias"]
+
+    return jax.tree.map(jnp.asarray, _validate_shapes(variables, out, "import_dla"))
+
+
 TORCH_IMPORTERS: Dict[str, Callable] = {
     "mgp_str": import_mgp_str,
     "swin": import_swin,
     "focalnet": import_focalnet,
+    "dla": import_dla,   # takes/returns full variables (params + batch_stats)
 }

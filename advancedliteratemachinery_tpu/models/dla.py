@@ -168,24 +168,25 @@ class DLA(nn.Module):
         return y
 
 
-def _bilinear_upsample_kernel(f: int, ch: int, dtype) -> jnp.ndarray:
-    """fill_up_weights (pose_dla_dcn.py:333): bilinear transposed-conv kernel
-    [kh, kw, 1, ch] for grouped (depthwise) transpose conv."""
+def _bilinear_upsample_kernel(f: int) -> np.ndarray:
+    """fill_up_weights (pose_dla_dcn.py:334): bilinear kernel [2f, 2f]."""
     k = f * 2
-    c = (2 * (k // 2) - 1 - (k // 2) % 2) / (2.0 * (k // 2))
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
     w = np.zeros((k, k), np.float32)
     for i in range(k):
         for j in range(k):
-            w[i, j] = (1 - abs(i / (k // 2) - c)) * (1 - abs(j / (k // 2) - c))
-    return jnp.asarray(np.tile(w[:, :, None, None], (1, 1, 1, ch)), dtype)
+            w[i, j] = (1 - abs(i / f - c)) * (1 - abs(j / f - c))
+    return w
 
 
 class UpsampleBilinear(nn.Module):
-    """Depthwise 2x-per-factor transposed conv with fixed bilinear weights
-    (reference keeps these trainable but initialized bilinear; we keep them
-    fixed — an exact bilinear resize XLA can fuse)."""
+    """Depthwise transposed conv, bilinear-initialized and trainable like the
+    reference's ConvTranspose2d(o, o, 2f, stride=f, padding=f//2, groups=o)
+    after fill_up_weights (pose_dla_dcn.py:372). Kernel layout [2f, 2f, C]
+    (one spatial kernel per channel, groups == channels)."""
 
     factor: int
+    policy: Policy = DEFAULT_POLICY
 
     @nn.compact
     def __call__(self, x):
@@ -195,7 +196,19 @@ class UpsampleBilinear(nn.Module):
         f = self.factor
         if f == 1:
             return x
-        return jax.image.resize(x, (B, H * f, W * f, C), method="bilinear")
+        k = 2 * f
+        init = lambda rng, shape, dtype: jnp.asarray(
+            np.tile(_bilinear_upsample_kernel(f)[:, :, None], (1, 1, shape[-1])),
+            dtype)
+        kernel = self.param("kernel", init, (k, k, C), self.policy.param_dtype)
+        # transposed conv == lhs-dilated conv with the kernel rotated 180° and
+        # padding (k-1-p) per side; torch pads p = f//2
+        p = k - 1 - f // 2
+        w = jnp.flip(kernel, (0, 1))[:, :, None, :].astype(x.dtype)  # [k,k,1,C]
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=[(p, p), (p, p)],
+            lhs_dilation=(f, f), feature_group_count=C,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class DeformUpBlock(nn.Module):

@@ -189,7 +189,12 @@ class LORE(nn.Module):
         self.processor = LoreProcessor(self.config, policy=self.policy)
 
     def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
-        """Raw head maps (training path; decode/processor wired by callers)."""
+        """Raw head maps (training path; decode/processor wired by callers).
+
+        NOTE: this path never touches the processor, so ``model.init`` via
+        the default __call__ yields a param tree without processor weights
+        and a later ``infer`` fails — init with ``method=LORE.infer`` (or
+        train_logic) instead."""
         return self.backbone(images, train=train)
 
     def infer(self, images) -> Dict[str, jnp.ndarray]:
