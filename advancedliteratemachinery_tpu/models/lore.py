@@ -148,6 +148,12 @@ class LoreProcessor(nn.Module):
         Returns logic [B,K,4] (+ stacked_logic if wiz_stacking)."""
         cfg = self.config
         p = self.policy
+        if feat.shape[-1] != cfg.hidden_size:
+            raise ValueError(
+                f"LoreProcessor: cell-feature dim {feat.shape[-1]} must equal "
+                f"hidden_size {cfg.hidden_size} (the reference ties "
+                f"input_size == hidden_size == 256, classifier.py:51); "
+                f"position embeddings add directly onto the features")
         if cfg.wiz_2dpe and boxes is not None:
             ps = jnp.clip(jnp.round(boxes), 0, cfg.max_fmp_size - 1).astype(jnp.int32)
             xe = nn.Embed(cfg.max_fmp_size, cfg.hidden_size, param_dtype=p.param_dtype,
