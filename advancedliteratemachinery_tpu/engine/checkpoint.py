@@ -442,9 +442,81 @@ def import_dla(sd: Dict[str, np.ndarray], variables: Dict,
     return jax.tree.map(jnp.asarray, _validate_shapes(variables, out, "import_dla"))
 
 
+def import_abinet_vision(sd: Dict[str, np.ndarray], variables: Dict,
+                         prefix: str = "vision.") -> Dict:
+    """Map LevOCR's BaseVision (reference OCR/LevOCR/abinet: resnet.py:50
+    ResNet45, backbone.py:13 ResTranformer, model_vision.py:23
+    PositionAttention, :75 BaseVision) onto our ABINetVision variables
+    ({"params", "batch_stats"} — ResNet/U-Net carry BatchNorm stats).
+    Positional encodings are fixed sincos buffers on both sides and are
+    not imported."""
+    out = jax.tree.map(np.asarray, variables)
+    pr, st = out["params"], out["batch_stats"]
+    p = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    def bn(dst_p, dst_s, t):
+        dst_p["scale"] = p[t + ".weight"]
+        dst_p["bias"] = p[t + ".bias"]
+        dst_s["mean"] = p[t + ".running_mean"]
+        dst_s["var"] = p[t + ".running_var"]
+
+    def cbr(dst_p, dst_s, tconv, tbn):
+        dst_p["conv"]["kernel"] = conv_kernel(p[tconv + ".weight"])
+        bn(dst_p["bn"], dst_s["bn"], tbn)
+
+    def lin(dst, t):
+        dst["kernel"] = linear_kernel(p[t + ".weight"])
+        dst["bias"] = p[t + ".bias"]
+
+    rn_p, rn_s = pr["resnet"], st["resnet"]
+    cbr(rn_p["stem"], rn_s["stem"], "backbone.resnet.conv1",
+        "backbone.resnet.bn1")
+    for s in range(5):
+        b = 0
+        while f"backbone.resnet.layer{s + 1}.{b}.conv1.weight" in p:
+            pre = f"backbone.resnet.layer{s + 1}.{b}."
+            dst_p = rn_p[f"layer{s}_block{b}"]
+            dst_s = rn_s[f"layer{s}_block{b}"]
+            cbr(dst_p["conv1"], dst_s["conv1"], pre + "conv1", pre + "bn1")
+            cbr(dst_p["conv2"], dst_s["conv2"], pre + "conv2", pre + "bn2")
+            if pre + "downsample.0.weight" in p:
+                cbr(dst_p["downsample"], dst_s["downsample"],
+                    pre + "downsample.0", pre + "downsample.1")
+            b += 1
+
+    i = 0
+    while f"backbone.transformer.layers.{i}.self_attn.in_proj_weight" in p:
+        pre = f"backbone.transformer.layers.{i}."
+        t = pr[f"tfm{i}"]
+        t["qkv"]["kernel"] = linear_kernel(p[pre + "self_attn.in_proj_weight"])
+        t["qkv"]["bias"] = p[pre + "self_attn.in_proj_bias"]
+        lin(t["proj"], pre + "self_attn.out_proj")
+        lin(t["ff1"], pre + "linear1")
+        lin(t["ff2"], pre + "linear2")
+        for n in ("norm1", "norm2"):
+            t[n]["scale"] = p[pre + n + ".weight"]
+            t[n]["bias"] = p[pre + n + ".bias"]
+        i += 1
+
+    at_p, at_s = pr["attention"], st["attention"]
+    for j in range(4):
+        # encoder_layer Sequential: [conv, bn, relu]
+        cbr(at_p[f"k_enc{j}"], at_s[f"k_enc{j}"],
+            f"attention.k_encoder.{j}.0", f"attention.k_encoder.{j}.1")
+        # decoder_layer Sequential: [upsample, conv, bn, relu]
+        cbr(at_p[f"k_dec{j}"], at_s[f"k_dec{j}"],
+            f"attention.k_decoder.{j}.1", f"attention.k_decoder.{j}.2")
+    lin(at_p["project"], "attention.project")
+    lin(pr["cls"], "cls")
+
+    return jax.tree.map(jnp.asarray,
+                        _validate_shapes(variables, out, "import_abinet_vision"))
+
+
 TORCH_IMPORTERS: Dict[str, Callable] = {
     "mgp_str": import_mgp_str,
     "swin": import_swin,
     "focalnet": import_focalnet,
-    "dla": import_dla,   # takes/returns full variables (params + batch_stats)
+    "dla": import_dla,            # full variables (params + batch_stats)
+    "abinet_vision": import_abinet_vision,  # full variables
 }

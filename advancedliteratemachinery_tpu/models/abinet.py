@@ -180,6 +180,7 @@ class ABINetVisionConfig(ConfigBase):
     num_classes: int = 37         # charset36 + null
     d_model: int = 512
     backbone_layers: int = 3
+    ffn: int = 2048               # d_inner (backbone.py:10)
 
 
 class ABINetVision(nn.Module):
@@ -199,7 +200,7 @@ class ABINetVision(nn.Module):
         pe = jnp.asarray(sincos_positions(H * W, C))[None]
         seq = seq + pe.astype(seq.dtype)
         for i in range(cfg.backbone_layers):
-            seq = ABINetEncoderLayer(cfg.d_model, policy=p,
+            seq = ABINetEncoderLayer(cfg.d_model, ffn=cfg.ffn, policy=p,
                                      name=f"tfm{i}")(seq)
         fmap = seq.reshape(B, H, W, C)
         vecs, attn = PositionAttention(cfg.max_length, cfg.d_model, policy=p,
