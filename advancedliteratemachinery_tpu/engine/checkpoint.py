@@ -513,10 +513,101 @@ def import_abinet_vision(sd: Dict[str, np.ndarray], variables: Dict,
                         _validate_shapes(variables, out, "import_abinet_vision"))
 
 
+def _levt_layer(p: Dict[str, np.ndarray], dst: Dict, pre: str) -> None:
+    """fairseq TransformerDecoderLayer (levt/transformer_layer.py; separate
+    q/k/v projections, post-norm, cross-attn unused because encoder_out is
+    always None — levenshtein_transformer.py:459) → PostNormSelfAttnLayer."""
+    for ours, theirs in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                         ("out", "out_proj")):
+        dst[ours]["kernel"] = linear_kernel(p[f"{pre}self_attn.{theirs}.weight"])
+        dst[ours]["bias"] = p[f"{pre}self_attn.{theirs}.bias"]
+    dst["ff1"]["kernel"] = linear_kernel(p[pre + "fc1.weight"])
+    dst["ff1"]["bias"] = p[pre + "fc1.bias"]
+    dst["ff2"]["kernel"] = linear_kernel(p[pre + "fc2.weight"])
+    dst["ff2"]["bias"] = p[pre + "fc2.bias"]
+    dst["norm1"]["scale"] = p[pre + "self_attn_layer_norm.weight"]
+    dst["norm1"]["bias"] = p[pre + "self_attn_layer_norm.bias"]
+    dst["norm2"]["scale"] = p[pre + "final_layer_norm.weight"]
+    dst["norm2"]["bias"] = p[pre + "final_layer_norm.bias"]
+
+
+def import_levt(sd: Dict[str, np.ndarray], params: Dict,
+                prefix: str = "levt.") -> Dict:
+    """Map the LevT side of a LevOCR checkpoint
+    (levenshtein_transformer.py:387 encoder = BERT-embedded text stack,
+    :523 decoder = multimodal fusion stack + tied heads) onto our
+    text_encoder/decoder param trees. Position tables longer than our
+    max_len are sliced; the constant text token-type row of the encoder's
+    BertEmbeddings is folded into the position table."""
+    out = jax.tree.map(np.asarray, params)
+    p = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    te = out["text_encoder"]
+    emb = "encoder.text_embeddings."
+    te["word_emb"]["embedding"] = p[emb + "word_embeddings.weight"]
+    L = te["pos_emb"]["embedding"].shape[0]
+    te["pos_emb"]["embedding"] = (
+        p[emb + "position_embeddings.weight"][:L]
+        + p[emb + "token_type_embeddings.weight"][0][None])
+    te["emb_ln"]["scale"] = p[emb + "LayerNorm.weight"]
+    te["emb_ln"]["bias"] = p[emb + "LayerNorm.bias"]
+    i = 0
+    while f"encoder.layers.{i}.fc1.weight" in p:
+        _levt_layer(p, te[f"layer_{i}"], f"encoder.layers.{i}.")
+        i += 1
+
+    de = out["decoder"]
+    de["word_emb_out"]["embedding"] = p["decoder.output_projection.weight"]
+    de["mask_ins_emb"]["embedding"] = p["decoder.embed_mask_ins.weight"]
+    de["word_del_emb"]["embedding"] = p["decoder.embed_word_del.weight"]
+    de["type_emb"]["embedding"] = p["decoder.token_type_embeddings.weight"]
+    de["img_proj"]["kernel"] = linear_kernel(p["decoder.img_embed_dim.weight"])
+    Lt = de["text_pos"].shape[1]
+    de["text_pos"] = p["decoder.text_pos_emb"][:, :Lt]
+    Li = de["img_pos"].shape[1]
+    de["img_pos"] = p["decoder.img_pos_emb"][:, :Li]
+    i = 0
+    while f"decoder.layers.{i}.fc1.weight" in p:
+        _levt_layer(p, de[f"layer_{i}"], f"decoder.layers.{i}.")
+        i += 1
+
+    return jax.tree.map(jnp.asarray, _validate_shapes(params, out, "import_levt"))
+
+
+def import_levocr(sd: Dict[str, np.ndarray], variables: Dict) -> Dict:
+    """Full LevOCR checkpoint (models.py:145 LevOCRModel: vision BaseVision,
+    conv4_1/bn4_1 + conv4_2/bn4_2 image-token reduction, levt): composes
+    import_abinet_vision + the reduction convs + import_levt over the full
+    flax variables ({"params", "batch_stats"})."""
+    out = jax.tree.map(np.asarray, variables)
+    pr, st = out["params"], out["batch_stats"]
+    p = dict(sd)
+
+    vis = import_abinet_vision(sd, {"params": pr["vision"],
+                                    "batch_stats": st["vision"]})
+    pr["vision"], st["vision"] = vis["params"], vis["batch_stats"]
+
+    for ours, tconv, tbn in (("img_conv1", "conv4_1", "bn4_1"),
+                             ("img_conv2", "conv4_2", "bn4_2")):
+        pr[ours]["conv"]["kernel"] = conv_kernel(p[tconv + ".weight"])
+        pr[ours]["bn"]["scale"] = p[tbn + ".weight"]
+        pr[ours]["bn"]["bias"] = p[tbn + ".bias"]
+        st[ours]["bn"]["mean"] = p[tbn + ".running_mean"]
+        st[ours]["bn"]["var"] = p[tbn + ".running_var"]
+
+    lev = import_levt(sd, {"text_encoder": pr["text_encoder"],
+                           "decoder": pr["decoder"]})
+    pr["text_encoder"], pr["decoder"] = lev["text_encoder"], lev["decoder"]
+
+    return jax.tree.map(jnp.asarray, _validate_shapes(variables, out, "import_levocr"))
+
+
 TORCH_IMPORTERS: Dict[str, Callable] = {
     "mgp_str": import_mgp_str,
     "swin": import_swin,
     "focalnet": import_focalnet,
     "dla": import_dla,            # full variables (params + batch_stats)
     "abinet_vision": import_abinet_vision,  # full variables
+    "levt": import_levt,
+    "levocr": import_levocr,      # full variables
 }
