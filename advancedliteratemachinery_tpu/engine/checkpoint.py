@@ -268,6 +268,35 @@ def import_swin(sd: Dict[str, np.ndarray], params: Dict,
     return jax.tree.map(jnp.asarray, _validate_shapes(params, out, 'import_swin'))
 
 
+def _focal_block(p: Dict[str, np.ndarray], dst: Dict, pre: str) -> None:
+    """One torch FocalNetBlock (feature_extractor.py:142) → our FocalNetBlock
+    param subtree (shared by the FocalNet stages and LISTER's FEM merge)."""
+    dst["norm1"]["scale"] = p[pre + "norm1.weight"]
+    dst["norm1"]["bias"] = p[pre + "norm1.bias"]
+    mod = dst["modulation"]
+    mp = pre + "modulation."
+    mod["f"]["kernel"] = linear_kernel(p[mp + "f.weight"])
+    mod["f"]["bias"] = p[mp + "f.bias"]
+    mod["h"]["kernel"] = p[mp + "h.weight"][:, :, 0, 0].T
+    mod["h"]["bias"] = p[mp + "h.bias"]
+    mod["proj"]["kernel"] = linear_kernel(p[mp + "proj.weight"])
+    mod["proj"]["bias"] = p[mp + "proj.bias"]
+    level = 0
+    while f"focal_{level}" in mod:
+        mod[f"focal_{level}"]["kernel"] = conv_kernel(
+            p[mp + f"focal_layers.{level}.0.weight"])
+        level += 1
+    dst["norm2"]["scale"] = p[pre + "norm2.weight"]
+    dst["norm2"]["bias"] = p[pre + "norm2.bias"]
+    dst["mlp_fc1"]["kernel"] = linear_kernel(p[pre + "mlp.fc1.weight"])
+    dst["mlp_fc1"]["bias"] = p[pre + "mlp.fc1.bias"]
+    dst["mlp_fc2"]["kernel"] = linear_kernel(p[pre + "mlp.fc2.weight"])
+    dst["mlp_fc2"]["bias"] = p[pre + "mlp.fc2.bias"]
+    if pre + "gamma_1" in p:
+        dst["gamma_1"] = p[pre + "gamma_1"]
+        dst["gamma_2"] = p[pre + "gamma_2"]
+
+
 def import_focalnet(sd: Dict[str, np.ndarray], params: Dict,
                     prefix: str = "encoder.") -> Dict:
     """Map a LISTER FocalNet-lrf state dict (OCR/LISTER/model/
@@ -303,32 +332,8 @@ def import_focalnet(sd: Dict[str, np.ndarray], params: Dict,
     while f"stage{s}_block0" in out:
         b = 0
         while f"stage{s}_block{b}" in out:
-            dst = out[f"stage{s}_block{b}"]
-            pre = f"layers.{s}.blocks.{b}."
-            dst["norm1"]["scale"] = p[pre + "norm1.weight"]
-            dst["norm1"]["bias"] = p[pre + "norm1.bias"]
-            mod = dst["modulation"]
-            mp = pre + "modulation."
-            mod["f"]["kernel"] = linear_kernel(p[mp + "f.weight"])
-            mod["f"]["bias"] = p[mp + "f.bias"]
-            mod["h"]["kernel"] = p[mp + "h.weight"][:, :, 0, 0].T
-            mod["h"]["bias"] = p[mp + "h.bias"]
-            mod["proj"]["kernel"] = linear_kernel(p[mp + "proj.weight"])
-            mod["proj"]["bias"] = p[mp + "proj.bias"]
-            level = 0
-            while f"focal_{level}" in mod:
-                mod[f"focal_{level}"]["kernel"] = conv_kernel(
-                    p[mp + f"focal_layers.{level}.0.weight"])
-                level += 1
-            dst["norm2"]["scale"] = p[pre + "norm2.weight"]
-            dst["norm2"]["bias"] = p[pre + "norm2.bias"]
-            dst["mlp_fc1"]["kernel"] = linear_kernel(p[pre + "mlp.fc1.weight"])
-            dst["mlp_fc1"]["bias"] = p[pre + "mlp.fc1.bias"]
-            dst["mlp_fc2"]["kernel"] = linear_kernel(p[pre + "mlp.fc2.weight"])
-            dst["mlp_fc2"]["bias"] = p[pre + "mlp.fc2.bias"]
-            if pre + "gamma_1" in p:
-                dst["gamma_1"] = p[pre + "gamma_1"]
-                dst["gamma_2"] = p[pre + "gamma_2"]
+            _focal_block(p, out[f"stage{s}_block{b}"],
+                         f"layers.{s}.blocks.{b}.")
             b += 1
         if f"downsample{s}" in out:
             pre = f"layers.{s}.downsample."
@@ -342,6 +347,66 @@ def import_focalnet(sd: Dict[str, np.ndarray], params: Dict,
     out["norm"]["scale"] = p["norm.weight"]
     out["norm"]["bias"] = p["norm.bias"]
     return jax.tree.map(jnp.asarray, _validate_shapes(params, out, 'import_focalnet'))
+
+
+def import_lister(sd: Dict[str, np.ndarray], params: Dict) -> Dict:
+    """Map a full LISTER checkpoint (OCR/LISTER/model/model.py:40 — encoder
+    FocalNet + nb_decoder.py:98 NeighborDecoder with BilinearLayer navigator,
+    la_utils.py LocalAttentionModule, FeatureMapEnhancer) onto our LISTER
+    param tree. Composes import_focalnet for the encoder."""
+    out = jax.tree.map(np.asarray, params)
+    out["encoder"] = jax.tree.map(
+        np.asarray, import_focalnet(sd, params["encoder"], prefix="encoder."))
+    p = {k[len("decoder."):]: v for k, v in sd.items()
+         if k.startswith("decoder.")}
+    de = out["decoder"]
+
+    def lin(dst, t):
+        dst["kernel"] = linear_kernel(p[t + ".weight"])
+        if t + ".bias" in p and "bias" in dst:
+            dst["bias"] = p[t + ".bias"]
+
+    de["eos_emb"] = p["eos_emb"]
+    lin(de["q_fc"], "q_fc")
+    lin(de["k_fc"], "k_fc")
+    # BilinearLayer out=1: y = q · W[0] · k + b[0] (nb_decoder.py:43)
+    de["neighbor_navigator"]["weight"] = p["neighbor_navigator.weight"][0]
+    de["neighbor_navigator"]["bias"] = np.asarray(
+        p["neighbor_navigator.bias"])[0]
+    lin(de["vis_cls"], "vis_cls")
+
+    if "cntx_module" in de:
+        cm = de["cntx_module"]
+        i = 0
+        while f"sa_{i}" in cm:
+            pre = f"cntx_module.attn_blocks.{i}."
+            cm[f"gamma1_{i}"] = p[pre + "gamma_1"]
+            cm[f"gamma2_{i}"] = p[pre + "gamma_2"]
+            for n, t in (("norm1", "norm1"), ("norm2", "norm2")):
+                cm[f"{n}_{i}"]["scale"] = p[pre + t + ".weight"]
+                cm[f"{n}_{i}"]["bias"] = p[pre + t + ".bias"]
+            sa = cm[f"sa_{i}"]
+            lin(sa["q_fc"], pre + "sa.q_fc")
+            lin(sa["kv_fc"], pre + "sa.kv_fc")
+            lin(sa["proj"], pre + "sa.proj")
+            if "kv_pos_bias" in sa:
+                sa["kv_pos_bias"] = p[pre + "sa.kv_pos_bias"]
+            # torch mlp Sequential: Linear(0), GELU, Dropout, Linear(3)
+            lin(cm[f"mlp_fc1_{i}"], pre + "mlp.0")
+            lin(cm[f"mlp_fc2_{i}"], pre + "mlp.3")
+            i += 1
+
+    if "merge_layer" in de:
+        ml = de["merge_layer"]
+        for n in ("norm1", "norm2"):
+            ml[n]["scale"] = p[f"merge_layer.{n}.weight"]
+            ml[n]["bias"] = p[f"merge_layer.{n}.bias"]
+        i = 0
+        while f"merge_{i}" in ml:
+            _focal_block(p, ml[f"merge_{i}"], f"merge_layer.merge_layer.{i}.")
+            i += 1
+
+    return jax.tree.map(jnp.asarray, _validate_shapes(params, out, "import_lister"))
 
 
 def _dcn_offset_perm(K: int) -> np.ndarray:
@@ -606,6 +671,7 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "mgp_str": import_mgp_str,
     "swin": import_swin,
     "focalnet": import_focalnet,
+    "lister": import_lister,
     "dla": import_dla,            # full variables (params + batch_stats)
     "abinet_vision": import_abinet_vision,  # full variables
     "levt": import_levt,

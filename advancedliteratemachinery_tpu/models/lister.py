@@ -223,7 +223,8 @@ class NeighborDecoder(nn.Module):
                                   (self.feat_dim,), p.param_dtype)
         self.q_fc = nn.Dense(self.feat_dim, dtype=p.compute_dtype,
                              param_dtype=p.param_dtype, name="q_fc")
-        self.k_fc = nn.Dense(self.feat_dim, use_bias=False, dtype=p.compute_dtype,
+        # biased like the reference (nb_decoder.py:108 nn.Linear default)
+        self.k_fc = nn.Dense(self.feat_dim, dtype=p.compute_dtype,
                              param_dtype=p.param_dtype, name="k_fc")
         self.navigator = BilinearNavigator(policy=p, name="neighbor_navigator")
         self.vis_cls = nn.Dense(cfg.num_classes, dtype=p.compute_dtype,
