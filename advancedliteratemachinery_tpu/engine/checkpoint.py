@@ -68,6 +68,37 @@ def linear_kernel(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
 
+class _TrackingDict(dict):
+    """Records which checkpoint keys an importer actually read, so unused
+    (silently skipped) weights can be reported."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.read: set = set()
+
+    def __getitem__(self, key):
+        self.read.add(key)
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        self.read.add(key)
+        return super().__contains__(key)
+
+
+_BUFFER_SUFFIXES = ("num_batches_tracked", "position_ids", ".pe", "version")
+
+
+def _warn_unused(p: "_TrackingDict", importer: str) -> None:
+    unused = [k for k in p if k not in p.read
+              and not any(k.endswith(s) for s in _BUFFER_SUFFIXES)]
+    if unused:
+        import warnings
+        warnings.warn(
+            f"{importer}: {len(unused)} checkpoint tensors were not mapped "
+            f"onto the model (first few: {sorted(unused)[:4]}) — extra heads "
+            f"or a richer variant than this config", stacklevel=3)
+
+
 def _validate_shapes(ref: Dict, imported: Dict, importer: str) -> Dict:
     """Fail at import time (not at apply time) if any imported leaf's shape
     disagrees with the model's param tree — catches variant mismatches whose
@@ -93,8 +124,8 @@ def import_mgp_str(sd: Dict[str, np.ndarray], params: Dict,
     reference modules/mgp_str.py) onto our param tree. Head vocab dims are
     zero-padded up to our MXU-aligned sizes."""
     out = jax.tree.map(np.asarray, params)
-    p = {k[len("mgp_str."):] if k.startswith("mgp_str.") else k: v
-         for k, v in sd.items()}
+    p = _TrackingDict({k[len("mgp_str."):] if k.startswith("mgp_str.") else k: v
+                        for k, v in sd.items()})
 
     enc = out["encoder"]
     enc["patch_embed"]["proj"]["kernel"] = conv_kernel(p["patch_embed.proj.weight"])
@@ -146,6 +177,7 @@ def import_mgp_str(sd: Dict[str, np.ndarray], params: Dict,
         pb[: hb.shape[0]] = hb
         out[f"{head}_head"]["bias"] = pb
 
+    _warn_unused(p, "import_mgp_str")
     return jax.tree.map(jnp.asarray, _validate_shapes(params, out, 'import_mgp_str'))
 
 
@@ -224,7 +256,8 @@ def import_swin(sd: Dict[str, np.ndarray], params: Dict,
     layers.{s}.downsample.{reduction,norm}. The relative_position_index
     buffer is recomputed here, not imported."""
     out = jax.tree.map(np.asarray, params)
-    p = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
 
     out["patch_embed"]["kernel"] = conv_kernel(p["patch_embed.proj.weight"])
     out["patch_embed"]["bias"] = p["patch_embed.proj.bias"]
@@ -265,6 +298,7 @@ def import_swin(sd: Dict[str, np.ndarray], params: Dict,
             out[f"out_norm{stage}"]["scale"] = p[f"norm{stage}.weight"]
             out[f"out_norm{stage}"]["bias"] = p[f"norm{stage}.bias"]
         stage += 1
+    _warn_unused(p, "import_swin")
     return jax.tree.map(jnp.asarray, _validate_shapes(params, out, 'import_swin'))
 
 
@@ -307,7 +341,8 @@ def import_focalnet(sd: Dict[str, np.ndarray], params: Dict,
     modulation.{f,h,proj,focal_layers.{l}.0},norm2,mlp.fc1/fc2,gamma_1/2},
     layers.{s}.downsample.proj (MaskedConv) + .norm, final `norm`."""
     out = jax.tree.map(np.asarray, params)
-    p = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
 
     stem = out["stem"]
     sp = "patch_embed.proj."
@@ -346,6 +381,7 @@ def import_focalnet(sd: Dict[str, np.ndarray], params: Dict,
 
     out["norm"]["scale"] = p["norm.weight"]
     out["norm"]["bias"] = p["norm.bias"]
+    _warn_unused(p, "import_focalnet")
     return jax.tree.map(jnp.asarray, _validate_shapes(params, out, 'import_focalnet'))
 
 
@@ -357,8 +393,8 @@ def import_lister(sd: Dict[str, np.ndarray], params: Dict) -> Dict:
     out = jax.tree.map(np.asarray, params)
     out["encoder"] = jax.tree.map(
         np.asarray, import_focalnet(sd, params["encoder"], prefix="encoder."))
-    p = {k[len("decoder."):]: v for k, v in sd.items()
-         if k.startswith("decoder.")}
+    p = _TrackingDict({k[len("decoder."):]: v for k, v in sd.items()
+                        if k.startswith("decoder.")})
     de = out["decoder"]
 
     def lin(dst, t):
@@ -406,6 +442,7 @@ def import_lister(sd: Dict[str, np.ndarray], params: Dict) -> Dict:
             _focal_block(p, ml[f"merge_{i}"], f"merge_layer.merge_layer.{i}.")
             i += 1
 
+    _warn_unused(p, "import_lister")
     return jax.tree.map(jnp.asarray, _validate_shapes(params, out, "import_lister"))
 
 
@@ -431,7 +468,8 @@ def import_dla(sd: Dict[str, np.ndarray], variables: Dict,
     test with zero offsets."""
     out = jax.tree.map(np.asarray, variables)
     pr, st = out["params"], out["batch_stats"]
-    p = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
 
     def bn(dst_p, dst_s, t):
         dst_p["scale"] = p[t + ".weight"]
@@ -504,6 +542,7 @@ def import_dla(sd: Dict[str, np.ndarray], variables: Dict,
         pr[f"{head}_out"]["kernel"] = conv_kernel(p[head + ".2.weight"])
         pr[f"{head}_out"]["bias"] = p[head + ".2.bias"]
 
+    _warn_unused(p, "import_dla")
     return jax.tree.map(jnp.asarray, _validate_shapes(variables, out, "import_dla"))
 
 
@@ -517,7 +556,8 @@ def import_abinet_vision(sd: Dict[str, np.ndarray], variables: Dict,
     not imported."""
     out = jax.tree.map(np.asarray, variables)
     pr, st = out["params"], out["batch_stats"]
-    p = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
 
     def bn(dst_p, dst_s, t):
         dst_p["scale"] = p[t + ".weight"]
@@ -605,7 +645,8 @@ def import_levt(sd: Dict[str, np.ndarray], params: Dict,
     max_len are sliced; the constant text token-type row of the encoder's
     BertEmbeddings is folded into the position table."""
     out = jax.tree.map(np.asarray, params)
-    p = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
 
     te = out["text_encoder"]
     emb = "encoder.text_embeddings."
@@ -636,6 +677,7 @@ def import_levt(sd: Dict[str, np.ndarray], params: Dict,
         _levt_layer(p, de[f"layer_{i}"], f"decoder.layers.{i}.")
         i += 1
 
+    _warn_unused(p, "import_levt")
     return jax.tree.map(jnp.asarray, _validate_shapes(params, out, "import_levt"))
 
 
