@@ -709,6 +709,118 @@ def import_levocr(sd: Dict[str, np.ndarray], variables: Dict) -> Dict:
     return jax.tree.map(jnp.asarray, _validate_shapes(variables, out, "import_levocr"))
 
 
+def import_geolayoutlm_backbone(sd: Dict[str, np.ndarray], params: Dict,
+                                prefix: str = "geolayoutlm_model.") -> Dict:
+    """Map a GeoLayoutLM backbone checkpoint (modeling_bros_convnext.py:29
+    GeoLayoutLMModel: BrosModel text encoder with crel attention +
+    concatenated spatial embeddings, ConvNeXt+FPN VisionModel, the shared
+    vis_linear, and the two cross-modal TransformerDecoder layers) onto our
+    GeoLayoutLM params. The reference releases the backbone as its own
+    state dict (geolayoutlm_vie.py:87), which is what this covers; the
+    VIE heads are fine-tune-specific."""
+    out = jax.tree.map(np.asarray, params)
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
+
+    def lin(dst, t):
+        dst["kernel"] = linear_kernel(p[t + ".weight"])
+        if "bias" in dst and t + ".bias" in p:
+            dst["bias"] = p[t + ".bias"]
+
+    def ln(dst, t):
+        dst["scale"] = p[t + ".weight"]
+        dst["bias"] = p[t + ".bias"]
+
+    # ---- text encoder (modeling_bros.py BrosModel) ----
+    te = out["text_encoder"]
+    ep = "text_encoder.embeddings."
+    for name in ("word_embeddings", "position_embeddings",
+                 "token_type_embeddings", "x_position_embeddings",
+                 "y_position_embeddings", "h_position_embeddings",
+                 "w_position_embeddings", "line_rank_embeddings",
+                 "line_rank_inner_embeddings"):
+        if ep + name + ".weight" in p and name in te:
+            te[name]["embedding"] = p[ep + name + ".weight"]
+    ln(te["emb_norm"], ep + "LayerNorm")
+    te["bbox_projection"]["kernel"] = linear_kernel(
+        p[ep + "bbox_projection.weight"])
+    i = 0
+    while f"text_encoder.encoder.layer.{i}.attention.self.query.weight" in p:
+        pre = f"text_encoder.encoder.layer.{i}."
+        L = te[f"layer_{i}"]
+        for n in ("query", "key", "value"):
+            lin(L["attn"][n], pre + "attention.self." + n)
+        lin(L["attn_out"], pre + "attention.output.dense")
+        ln(L["attn_norm"], pre + "attention.output.LayerNorm")
+        lin(L["ffn1"], pre + "intermediate.dense")
+        lin(L["ffn2"], pre + "output.dense")
+        ln(L["ffn_norm"], pre + "output.LayerNorm")
+        i += 1
+    if "pooler" in te and "text_encoder.pooler.dense.weight" in p:
+        lin(te["pooler"], "text_encoder.pooler.dense")
+
+    # ---- visual encoder (vision_model.py ConvNeXt + FPN) ----
+    vis = out["visual_encoder"]
+    cnn = vis["cnn"]
+    cp = "visual_encoder.cnn."
+    cnn["stem"]["kernel"] = conv_kernel(p[cp + "downsample_layers.0.0.weight"])
+    cnn["stem"]["bias"] = p[cp + "downsample_layers.0.0.bias"]
+    ln(cnn["stem_norm"], cp + "downsample_layers.0.1")
+    for s in range(1, 4):
+        ln(cnn[f"ds_norm{s}"], cp + f"downsample_layers.{s}.0")
+        cnn[f"ds_conv{s}"]["kernel"] = conv_kernel(
+            p[cp + f"downsample_layers.{s}.1.weight"])
+        cnn[f"ds_conv{s}"]["bias"] = p[cp + f"downsample_layers.{s}.1.bias"]
+    for s in range(4):
+        b = 0
+        while f"stage{s}_block{b}" in cnn:
+            pre = cp + f"stages.{s}.{b}."
+            blk = cnn[f"stage{s}_block{b}"]
+            blk["dwconv"]["kernel"] = conv_kernel(p[pre + "dwconv.weight"])
+            blk["dwconv"]["bias"] = p[pre + "dwconv.bias"]
+            ln(blk["norm"], pre + "norm")
+            lin(blk["pwconv1"], pre + "pwconv1")
+            lin(blk["pwconv2"], pre + "pwconv2")
+            blk["gamma"] = p[pre + "gamma"]
+            b += 1
+    for n in ("in5", "in4", "in3", "in2"):
+        vis[n]["kernel"] = conv_kernel(p[f"visual_encoder.{n}.weight"])
+    for n in ("out5", "out4", "out3"):   # Sequential(conv, upsample)
+        vis[n]["kernel"] = conv_kernel(p[f"visual_encoder.{n}.0.weight"])
+    vis["out2"]["kernel"] = conv_kernel(p["visual_encoder.out2.weight"])
+    # pos_emb1 torch [C, h, w] → ours [1, h, w, C]
+    vis["pos_emb1"] = np.transpose(p["visual_encoder.pos_emb1"], (1, 2, 0))[None]
+    vis["aggr"]["kernel"] = conv_kernel(p["visual_encoder.aggr.weight"])
+    vis["aggr"]["bias"] = p["visual_encoder.aggr.bias"]
+
+    # torch shares one vis_linear for block and full-image features
+    lin(out["vis_linear"], "vis_linear")
+    if "vis_linear_full" in out:
+        lin(out["vis_linear_full"], "vis_linear")
+
+    # ---- cross-modal decoders (transformer_local.py, 1 layer each) ----
+    for name in ("cross_modal_text", "cross_modal_visual"):
+        cm = out[name]
+        pre = f"{name}.layers.0."
+        D = p[pre + "self_attn.in_proj_weight"].shape[1]
+        for attn, t in (("sa", "self_attn"), ("ca", "multihead_attn")):
+            w = p[pre + t + ".in_proj_weight"]
+            b3 = p[pre + t + ".in_proj_bias"]
+            for j, which in enumerate(("q", "k", "v")):
+                cm[f"{attn}_{which}"]["kernel"] = linear_kernel(
+                    w[j * D:(j + 1) * D])
+                cm[f"{attn}_{which}"]["bias"] = b3[j * D:(j + 1) * D]
+            lin(cm[f"{attn}_out"], pre + t + ".out_proj")
+        lin(cm["ff1"], pre + "linear1")
+        lin(cm["ff2"], pre + "linear2")
+        for n in ("norm1", "norm2", "norm3"):
+            ln(cm[n], pre + n)
+
+    _warn_unused(p, "import_geolayoutlm_backbone")
+    return jax.tree.map(jnp.asarray,
+                        _validate_shapes(params, out, "import_geolayoutlm_backbone"))
+
+
 TORCH_IMPORTERS: Dict[str, Callable] = {
     "mgp_str": import_mgp_str,
     "swin": import_swin,
@@ -718,4 +830,5 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "abinet_vision": import_abinet_vision,  # full variables
     "levt": import_levt,
     "levocr": import_levocr,      # full variables
+    "geolayoutlm_backbone": import_geolayoutlm_backbone,
 }

@@ -39,6 +39,8 @@ class BrosConfig(ConfigBase):
     max_2d_position_embeddings: int = 1024   # bbox int coords 0..1000
     max_block_num: int = 256                 # line-rank vocabulary
     dim_bbox: int = 8
+    coordinate_size: int = 128               # x/y spatial embed dim (BROS-base)
+    shape_size: int = 128                    # h/w spatial embed dim
 
     @property
     def head_dim(self) -> int:
@@ -138,22 +140,32 @@ class BrosTextEncoder(nn.Module):
         emb = emb + pos + tok_type
 
         if line_bbox is not None:
-            # LayoutLM-style absolute spatial lookups (modeling_bros.py:192)
-            xe = nn.Embed(cfg.max_2d_position_embeddings, cfg.hidden_size,
+            # LayoutLM-style absolute spatial lookups, CONCATENATED like the
+            # reference (modeling_bros.py:192 — left/upper/right/lower at
+            # coordinate_size + h/w at shape_size, cat == hidden_size)
+            if 4 * cfg.coordinate_size + 2 * cfg.shape_size != cfg.hidden_size:
+                raise ValueError(
+                    "BrosConfig: 4*coordinate_size + 2*shape_size must equal "
+                    f"hidden_size ({cfg.hidden_size}), got "
+                    f"{4 * cfg.coordinate_size + 2 * cfg.shape_size}")
+            xe = nn.Embed(cfg.max_2d_position_embeddings, cfg.coordinate_size,
                           param_dtype=p.param_dtype, name="x_position_embeddings")
-            ye = nn.Embed(cfg.max_2d_position_embeddings, cfg.hidden_size,
+            ye = nn.Embed(cfg.max_2d_position_embeddings, cfg.coordinate_size,
                           param_dtype=p.param_dtype, name="y_position_embeddings")
-            he = nn.Embed(cfg.max_2d_position_embeddings, cfg.hidden_size,
+            he = nn.Embed(cfg.max_2d_position_embeddings, cfg.shape_size,
                           param_dtype=p.param_dtype, name="h_position_embeddings")
-            we = nn.Embed(cfg.max_2d_position_embeddings, cfg.hidden_size,
+            we = nn.Embed(cfg.max_2d_position_embeddings, cfg.shape_size,
                           param_dtype=p.param_dtype, name="w_position_embeddings")
             lb = jnp.clip(line_bbox, 0, cfg.max_2d_position_embeddings - 1)
-            emb = emb + (xe(lb[:, :, 0]) + ye(lb[:, :, 1]) + xe(lb[:, :, 2])
-                         + ye(lb[:, :, 3])
-                         + he(jnp.clip(lb[:, :, 3] - lb[:, :, 1], 0,
-                                       cfg.max_2d_position_embeddings - 1))
-                         + we(jnp.clip(lb[:, :, 2] - lb[:, :, 0], 0,
-                                       cfg.max_2d_position_embeddings - 1)))
+            spatial = jnp.concatenate([
+                xe(lb[:, :, 0]), ye(lb[:, :, 1]), xe(lb[:, :, 2]),
+                ye(lb[:, :, 3]),
+                he(jnp.clip(lb[:, :, 3] - lb[:, :, 1], 0,
+                            cfg.max_2d_position_embeddings - 1)),
+                we(jnp.clip(lb[:, :, 2] - lb[:, :, 0], 0,
+                            cfg.max_2d_position_embeddings - 1)),
+            ], axis=-1)
+            emb = emb + spatial
         if line_rank_id is not None:
             emb = emb + nn.Embed(cfg.max_block_num, cfg.hidden_size,
                                  param_dtype=p.param_dtype,

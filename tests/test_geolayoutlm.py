@@ -20,7 +20,8 @@ from advancedliteratemachinery_tpu.models.geolayoutlm import (
 
 TINY_BROS = BrosConfig(vocab_size=100, hidden_size=32, num_hidden_layers=2,
                        num_attention_heads=2, intermediate_size=64,
-                       max_position_embeddings=32)
+                       max_position_embeddings=32,
+                       coordinate_size=6, shape_size=4)  # 4*6+2*4 == 32
 TINY_CONVNEXT = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64))
 TINY = GeoLayoutLMConfig(bros=TINY_BROS, convnext=TINY_CONVNEXT, n_classes=7,
                          vis_channels=16, max_rel_enc=8)
