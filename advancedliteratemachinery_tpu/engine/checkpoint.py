@@ -821,6 +821,68 @@ def import_geolayoutlm_backbone(sd: Dict[str, np.ndarray], params: Dict,
                         _validate_shapes(params, out, "import_geolayoutlm_backbone"))
 
 
+def import_geolayoutlm_vie(sd: Dict[str, np.ndarray], params: Dict) -> Dict:
+    """Full GeoLayoutLM VIE checkpoint (geolayoutlm_vie.py:22): backbone +
+    bio_classifier + PairGeometricHead bilinear + MultiPairsGeometricHead
+    (rel_layer, stock-encoder trenc, local-decoder trdec, fc). The BIO head's
+    inner-id table is the text encoder's line_rank_inner_embeddings in the
+    reference (geolayoutlm_vie.py:136); we copy it into our separate
+    bio_inner_embeddings (identical at inference)."""
+    out = import_geolayoutlm_backbone(sd, params)
+    out = jax.tree.map(np.asarray, out)
+    p = _TrackingDict({k: v for k, v in sd.items()
+                       if not k.startswith("geolayoutlm_model.")})
+
+    def lin(dst, t):
+        dst["kernel"] = linear_kernel(p[t + ".weight"])
+        if "bias" in dst and t + ".bias" in p:
+            dst["bias"] = p[t + ".bias"]
+
+    lin(out["bio_classifier"], "bio_classifier")
+    inner = "geolayoutlm_model.text_encoder.embeddings." \
+            "line_rank_inner_embeddings.weight"
+    if "bio_inner_embeddings" in out and inner in sd:
+        out["bio_inner_embeddings"]["embedding"] = np.asarray(sd[inner])
+
+    out["pair_bilinear"] = p["pair_geometric_head.bilinear.weight"][0]
+    out["pair_bias"] = np.asarray(p["pair_geometric_head.bilinear.bias"])[0]
+
+    mp = "multi_pairs_geometric_head."
+    lin(out["rel_layer"], mp + "rel_layer")
+    lin(out["mp_fc"], mp + "fc")
+    # trenc: stock nn.TransformerEncoderLayer (packed in_proj)
+    enc = out["mp_enc"]
+    D = p[mp + "trenc.layers.0.self_attn.in_proj_weight"].shape[1]
+    w = p[mp + "trenc.layers.0.self_attn.in_proj_weight"]
+    b3 = p[mp + "trenc.layers.0.self_attn.in_proj_bias"]
+    for j, which in enumerate(("q", "k", "v")):
+        enc[f"sa_{which}"]["kernel"] = linear_kernel(w[j * D:(j + 1) * D])
+        enc[f"sa_{which}"]["bias"] = b3[j * D:(j + 1) * D]
+    lin(enc["sa_out"], mp + "trenc.layers.0.self_attn.out_proj")
+    lin(enc["ff1"], mp + "trenc.layers.0.linear1")
+    lin(enc["ff2"], mp + "trenc.layers.0.linear2")
+    for n in ("norm1", "norm2"):
+        enc[n]["scale"] = p[mp + f"trenc.layers.0.{n}.weight"]
+        enc[n]["bias"] = p[mp + f"trenc.layers.0.{n}.bias"]
+    # trdec: local TransformerDecoderLayer, self_attn=False (cross + ffn)
+    dec = out["mp_dec"]
+    w = p[mp + "trdec.layers.0.multihead_attn.in_proj_weight"]
+    b3 = p[mp + "trdec.layers.0.multihead_attn.in_proj_bias"]
+    for j, which in enumerate(("q", "k", "v")):
+        dec[f"ca_{which}"]["kernel"] = linear_kernel(w[j * D:(j + 1) * D])
+        dec[f"ca_{which}"]["bias"] = b3[j * D:(j + 1) * D]
+    lin(dec["ca_out"], mp + "trdec.layers.0.multihead_attn.out_proj")
+    lin(dec["ff1"], mp + "trdec.layers.0.linear1")
+    lin(dec["ff2"], mp + "trdec.layers.0.linear2")
+    for ours, theirs in (("norm2", "norm2"), ("norm3", "norm3")):
+        dec[ours]["scale"] = p[mp + f"trdec.layers.0.{theirs}.weight"]
+        dec[ours]["bias"] = p[mp + f"trdec.layers.0.{theirs}.bias"]
+
+    _warn_unused(p, "import_geolayoutlm_vie")
+    return jax.tree.map(jnp.asarray,
+                        _validate_shapes(params, out, "import_geolayoutlm_vie"))
+
+
 TORCH_IMPORTERS: Dict[str, Callable] = {
     "mgp_str": import_mgp_str,
     "swin": import_swin,
@@ -831,4 +893,5 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "levt": import_levt,
     "levocr": import_levocr,      # full variables
     "geolayoutlm_backbone": import_geolayoutlm_backbone,
+    "geolayoutlm_vie": import_geolayoutlm_vie,
 }

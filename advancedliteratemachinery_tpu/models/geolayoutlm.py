@@ -169,6 +169,44 @@ class CrossModalLayer(nn.Module):
                             name="norm3")(tgt + h).astype(p.compute_dtype)
 
 
+class SelfEncoderLayer(nn.Module):
+    """Stock torch nn.TransformerEncoderLayer semantics (post-norm, relu):
+    one self-attention + FFN with norm1/norm2 — the reference's
+    MultiPairsGeometricHead trenc (modeling_bros_convnext.py:266)."""
+
+    dim: int
+    heads: int
+    ffn: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, mask):
+        p = self.policy
+        B, T, D = x.shape
+        hd = D // self.heads
+        q = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="sa_q")(x).reshape(B, T, self.heads, hd)
+        k = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="sa_k")(x).reshape(B, T, self.heads, hd)
+        v = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="sa_v")(x).reshape(B, T, self.heads, hd)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (hd ** 0.5)
+        s = jnp.where(mask[:, None, None, :] > 0, s, -1e9)
+        a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, T, D)
+        o = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="sa_out")(o)
+        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
+                         name="norm1")(x + o).astype(p.compute_dtype)
+        h = nn.Dense(self.ffn, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="ff1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="ff2")(h)
+        return nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
+                            name="norm2")(x + h).astype(p.compute_dtype)
+
+
 @MODELS.register("geolayoutlm")
 class GeoLayoutLM(nn.Module):
     config: GeoLayoutLMConfig = GeoLayoutLMConfig()
@@ -268,10 +306,9 @@ class GeoLayoutLM(nn.Module):
         pos_pairs = jnp.take_along_axis(pair_feat, topi[..., None], axis=1)
         pos_pairs = pos_pairs * pos_valid[..., None].astype(pos_pairs.dtype)
 
-        enc = CrossModalLayer(D, 2, D, self_attn=True, policy=p, name="mp_enc")
-        # encoder over patterns: self-attn only (memory = itself)
-        patterns = enc(pos_pairs, pos_pairs, pos_valid.astype(jnp.float32),
-                       pos_valid.astype(jnp.float32))
+        # encoder over confident patterns (stock TransformerEncoderLayer)
+        patterns = SelfEncoderLayer(D, 2, D, policy=p, name="mp_enc")(
+            pos_pairs, pos_valid.astype(jnp.float32))
         dec = CrossModalLayer(D, 2, D, self_attn=False, policy=p, name="mp_dec")
         refined = dec(pair_feat, patterns, pair_mask,
                       pos_valid.astype(jnp.float32))

@@ -320,3 +320,78 @@ class TestGeoLayoutLMImport:
                            ).transpose(0, 1).numpy()
         np.testing.assert_allclose(np.asarray(mine), theirs,
                                    rtol=2e-3, atol=2e-3)
+
+
+class TVIE(nn.Module):
+    """Full VIE model mirror: backbone + heads (geolayoutlm_vie.py:22)."""
+
+    def __init__(self):
+        super().__init__()
+        self.geolayoutlm_model = TBackbone()
+        self.bio_classifier = nn.Linear(H, 5)
+        self.pair_geometric_head = nn.Module()
+        self.pair_geometric_head.bilinear = nn.Module()
+        self.pair_geometric_head.bilinear.weight = nn.Parameter(
+            torch.randn(1, H, H) * 0.1)
+        self.pair_geometric_head.bilinear.bias = nn.Parameter(torch.zeros(1))
+        mp = nn.Module()
+        mp.rel_layer = nn.Linear(2 * H, H)
+        mp.trenc = nn.Module()
+        mp.trenc.layers = nn.ModuleList(
+            [nn.TransformerEncoderLayer(H, NH, H, dropout=0.0)])
+        mp.trdec = nn.Module()
+        mp.trdec.layers = nn.ModuleList([TCrossModalLayer(self_attn=False)])
+        mp.fc = nn.Linear(H, 1)
+        self.multi_pairs_geometric_head = mp
+
+
+class TestGeoLayoutLMVieImport:
+    def test_vie_heads_import_and_match(self):
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            import_geolayoutlm_vie)
+        from advancedliteratemachinery_tpu.models.geolayoutlm import (
+            SelfEncoderLayer)
+
+        torch.manual_seed(3)
+        tm = TVIE().eval()
+        model = GeoLayoutLM(CFG, policy=FP32_POLICY)
+        rng = np.random.default_rng(0)
+        B, S, N = 2, 12, 3
+        batch = dict(
+            input_ids=jnp.asarray(rng.integers(0, 60, (B, S), np.int32)),
+            image=jnp.asarray(rng.integers(0, 255, (B, 64, 64, 3))
+                              .astype(np.float32)),
+            bbox_4p_normalized=jnp.asarray(rng.random((B, S, 8), np.float32)),
+            bbox=jnp.asarray(np.sort(
+                rng.integers(0, 500, (B, S, 2, 2), np.int32), axis=3)
+                .transpose(0, 1, 3, 2).reshape(B, S, 4)),
+            attention_mask=jnp.ones((B, S), np.float32),
+            first_token_idxes=jnp.asarray(rng.integers(0, S, (B, N), np.int32)),
+            block_mask=jnp.ones((B, N), np.float32))
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        params = import_geolayoutlm_vie(
+            tm.state_dict(), jax.tree.map(np.asarray, dict(variables)["params"]))
+
+        # full forward runs on imported weights
+        out = model.apply({"params": params}, batch)
+        assert np.isfinite(np.asarray(out["logits4labeling"])).all()
+        assert np.isfinite(np.asarray(out["logits4linking_list"][1])).all()
+
+        # mp_enc parity vs the stock torch encoder layer
+        x = np.random.default_rng(4).standard_normal((2, 5, H)).astype(np.float32)
+        enc = SelfEncoderLayer(H, NH, H, policy=FP32_POLICY)
+        mine = enc.apply({"params": params["mp_enc"]}, jnp.asarray(x),
+                         jnp.ones((2, 5)))
+        with torch.no_grad():
+            theirs = tm.multi_pairs_geometric_head.trenc.layers[0](
+                torch.from_numpy(x).transpose(0, 1)).transpose(0, 1).numpy()
+        np.testing.assert_allclose(np.asarray(mine), theirs,
+                                   rtol=2e-3, atol=2e-3)
+
+        # pair bilinear parity
+        m = np.random.default_rng(5).standard_normal((2, 4, H)).astype(np.float32)
+        w = tm.pair_geometric_head.bilinear.weight.detach().numpy()[0]
+        theirs = np.einsum("bic,cd,bjd->bij", m, w, m)
+        mine = np.einsum("bic,cd,bjd->bij", m,
+                         np.asarray(params["pair_bilinear"]), m)
+        np.testing.assert_allclose(mine, theirs, rtol=1e-5, atol=1e-5)
