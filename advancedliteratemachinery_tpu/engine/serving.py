@@ -109,3 +109,202 @@ class ContinuousBatcher:
             self.stats["batches"] += 1
             self.stats["items"] += len(pairs)
             self.stats["padded_slots"] += self.batch_size - len(pairs)
+
+
+class SpottingDecodeServer:
+    """Cross-request continuous batching for an OmniParser seq decoder.
+
+    A fixed pool of decode slots lives on device. Every tick runs ONE jitted
+    ragged decode step for all slots simultaneously — each slot at its own
+    absolute position (SeqDecoder.step_ragged) over its own encoder memory.
+    New requests prefill (batch-1 jit) straight into free slots and finished
+    slots free up immediately, so there is no batch-formation barrier
+    (vLLM-style scheduling expressed as static-shape XLA ops; the reference
+    serves each request independently — SURVEY.md §5 serving gap).
+
+    Requests are `(memory [S,C], mem_pos [S,C], mem_valid [S],
+    prompt_ids [P])` with S/P fixed at server construction (one compiled
+    graph). `submit` returns a Future resolving to the decoded token list
+    (EOS excluded).
+    """
+
+    def __init__(self, model, params, task: str = "rec", n_slots: int = 8,
+                 max_steps: int = 32, eos_id: int = 1, pad_id: int = 0,
+                 logit_mask=None, poll_ms: float = 2.0):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        self.params = params
+        self.task = task
+        self.n_slots = n_slots
+        self.max_steps = max_steps
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self.poll = poll_ms / 1000.0
+        self._logit_mask = logit_mask  # [num_classes] additive, e.g. -1e9
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._started = False
+        self._state = None
+        self._slots: List[Optional[dict]] = [None] * n_slots
+        self.stats = {"ticks": 0, "requests": 0, "occupied_slot_ticks": 0}
+
+        def _prefill(p, memory, mem_pos, mem_valid, prompt_ids, cache_len):
+            def run(m):
+                dec = getattr(m, f"{task}_decoder")
+                mem_kvs = dec.mem_kvs(memory, mem_pos)
+                mem_bias = jnp.where(mem_valid[:, None, None, :] > 0, 0.0, -1e9)
+                emb, qpos = m.embedding(prompt_ids, task)
+                logits, caches = dec.prefill(emb, qpos, mem_kvs, mem_bias,
+                                             cache_len)
+                return logits[:, -1], caches, mem_kvs, mem_bias
+            return self.model.apply({"params": p}, method=run)
+
+        self._prefill = jax.jit(_prefill, static_argnums=(5,))
+
+        def _insert(state, slot, last_logits, caches, mem_kvs, mem_bias, pos0):
+            def put(dst, new):
+                return jax.lax.dynamic_update_index_in_dim(dst, new[0], slot, 0)
+            new_state = dict(state)
+            new_state["caches"] = jax.tree.map(put, state["caches"], caches)
+            new_state["mem_kvs"] = jax.tree.map(put, state["mem_kvs"], mem_kvs)
+            new_state["mem_bias"] = put(state["mem_bias"], mem_bias)
+            new_state["last_logits"] = put(state["last_logits"], last_logits)
+            new_state["pos"] = state["pos"].at[slot].set(pos0)
+            new_state["finished"] = state["finished"].at[slot].set(False)
+            return new_state
+
+        self._insert = jax.jit(_insert, donate_argnums=(0,))
+
+        def _tick(p, state):
+            def run(m):
+                dec = getattr(m, f"{task}_decoder")
+                logits = state["last_logits"]
+                if self._logit_mask is not None:
+                    logits = logits + jnp.asarray(self._logit_mask,
+                                                  logits.dtype)[None]
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)
+                was_finished = state["finished"]
+                finished = was_finished | (tok == eos_id)
+                out_tok = jnp.where(was_finished, pad_id, tok)
+                emb, qpos = m.embedding.embed_at(out_tok[:, None], task,
+                                                 state["pos"])
+                new_logits, caches = dec.step_ragged(
+                    emb, qpos, state["caches"], state["pos"],
+                    state["mem_kvs"], state["mem_bias"])
+                cache_len = jax.tree.leaves(state["caches"])[0].shape[1]
+                new_state = dict(state)
+                new_state["caches"] = caches
+                new_state["last_logits"] = new_logits[:, 0]
+                new_state["pos"] = jnp.minimum(state["pos"] + 1, cache_len - 1)
+                new_state["finished"] = finished
+                return new_state, out_tok, was_finished
+            return self.model.apply({"params": p}, method=run)
+
+        self._tick = jax.jit(_tick, donate_argnums=(1,))
+
+    # ---- lifecycle ----
+
+    def start(self) -> "SpottingDecodeServer":
+        if not self._started:
+            self._worker.start()
+            self._started = True
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._q.put(None)
+        if self._started:
+            self._worker.join(timeout=10)
+
+    def submit(self, memory, mem_pos, mem_valid, prompt_ids) -> Future:
+        fut: Future = Future()
+        self._q.put((np.asarray(memory), np.asarray(mem_pos),
+                     np.asarray(mem_valid), np.asarray(prompt_ids), fut))
+        return fut
+
+    # ---- worker ----
+
+    def _init_state(self, caches, mem_kvs, mem_bias, last_logits):
+        import jax
+        import jax.numpy as jnp
+
+        def blank(a):
+            return jnp.zeros((self.n_slots,) + a.shape[1:], a.dtype)
+
+        return {
+            "caches": jax.tree.map(blank, caches),
+            "mem_kvs": jax.tree.map(blank, mem_kvs),
+            "mem_bias": blank(mem_bias),
+            "last_logits": blank(last_logits),
+            "pos": jnp.zeros((self.n_slots,), jnp.int32),
+            "finished": jnp.ones((self.n_slots,), bool),
+        }
+
+    def _loop(self) -> None:
+        import numpy as _np
+
+        while not self._stop.is_set():
+            inserted = False
+            # fill free slots from the queue
+            while None in self._slots:
+                try:
+                    req = self._q.get(block=not any(self._slots),
+                                      timeout=self.poll)
+                except queue.Empty:
+                    break
+                if req is None:
+                    return
+                memory, mem_pos, mem_valid, prompt_ids, fut = req
+                P = prompt_ids.shape[0]
+                shape_key = (P, memory.shape[0])
+                if getattr(self, "_shape_key", None) is None:
+                    self._shape_key = shape_key
+                elif shape_key != self._shape_key:
+                    fut.set_exception(ValueError(
+                        f"SpottingDecodeServer serves fixed-shape requests: "
+                        f"(prompt_len, mem_len)={shape_key} != the server's "
+                        f"{self._shape_key} (pad inputs or run a second "
+                        f"server)"))
+                    continue
+                cache_len = P + self.max_steps + 1
+                last_logits, caches, mem_kvs, mem_bias = self._prefill(
+                    self.params, memory[None], mem_pos[None], mem_valid[None],
+                    prompt_ids[None], cache_len)
+                if self._state is None:
+                    self._state = self._init_state(caches, mem_kvs, mem_bias,
+                                                   last_logits)
+                slot = self._slots.index(None)
+                self._state = self._insert(self._state, slot, last_logits,
+                                           caches, mem_kvs, mem_bias, P)
+                self._slots[slot] = {"future": fut, "tokens": [], "steps": 0}
+                self.stats["requests"] += 1
+                inserted = True
+            if not any(self._slots):
+                continue
+
+            self._state, out_tok, was_finished = self._tick(self.params,
+                                                            self._state)
+            toks = _np.asarray(out_tok)
+            fin = _np.asarray(was_finished)
+            self.stats["ticks"] += 1
+            for i, slot in enumerate(self._slots):
+                if slot is None:
+                    continue
+                self.stats["occupied_slot_ticks"] += 1
+                done = False
+                if fin[i]:
+                    done = True          # EOS was consumed on a prior tick
+                else:
+                    tok = int(toks[i])
+                    if tok == self.eos_id:
+                        done = True
+                    else:
+                        slot["tokens"].append(tok)
+                        slot["steps"] += 1
+                        done = slot["steps"] >= self.max_steps
+                if done:
+                    slot["future"].set_result(slot["tokens"])
+                    self._slots[i] = None

@@ -255,6 +255,35 @@ class DecoderLayer(nn.Module):
         out = tgt_t + self.ff2(nn.relu(self.ff1(h)))
         return out, (k_cache, v_cache)
 
+    def step_ragged(self, tgt_t, query_pos_t, caches, pos_vec, mem_k, mem_v,
+                    mem_bias):
+        """Like step, but every batch row sits at its own absolute position
+        (pos_vec [B]) — the primitive for cross-request continuous batching,
+        where slots in one device batch decode different requests."""
+        p = self.policy
+        k_cache, v_cache = caches
+        B = tgt_t.shape[0]
+        h = self.norm1(tgt_t.astype(jnp.float32)).astype(p.compute_dtype)
+        qk_in = h + query_pos_t
+        q = self._heads(self.sa_q(qk_in))
+        k_t = self._heads(self.sa_k(qk_in))
+        v_t = self._heads(self.sa_v(h))
+        rows = jnp.arange(B)
+        k_cache = k_cache.at[rows, pos_vec].set(k_t[:, 0])
+        v_cache = v_cache.at[rows, pos_vec].set(v_t[:, 0])
+        L = k_cache.shape[1]
+        valid = jnp.arange(L)[None] <= pos_vec[:, None]      # [B, L]
+        bias = jnp.where(valid[:, None, None, :], 0.0, NEG)
+        tgt_t = tgt_t + self.sa_out(self._attn(q, k_cache, v_cache, bias))
+
+        h = self.norm2(tgt_t.astype(jnp.float32)).astype(p.compute_dtype)
+        q = self._heads(self.ca_q(h + query_pos_t))
+        tgt_t = tgt_t + self.ca_out(self._attn(q, mem_k, mem_v, mem_bias))
+
+        h = self.norm3(tgt_t.astype(jnp.float32)).astype(p.compute_dtype)
+        out = tgt_t + self.ff2(nn.relu(self.ff1(h)))
+        return out, (k_cache, v_cache)
+
     def mem_kv(self, memory, mem_pos):
         return self._heads(self.ca_k(memory + mem_pos)), self._heads(self.ca_v(memory))
 
@@ -307,6 +336,17 @@ class SeqDecoder(nn.Module):
         tgt_t = self.final_norm(tgt_t.astype(jnp.float32)).astype(tgt_t.dtype)
         return self._head(tgt_t), tuple(new_caches)
 
+    def step_ragged(self, tgt_t, query_pos_t, caches, pos_vec, mem_kvs,
+                    mem_bias):
+        """Per-row-position incremental step (see DecoderLayer.step_ragged)."""
+        new_caches = []
+        for layer, cache, (mk, mv) in zip(self.layers, caches, mem_kvs):
+            tgt_t, cache = layer.step_ragged(tgt_t, query_pos_t, cache, pos_vec,
+                                             mk, mv, mem_bias)
+            new_caches.append(cache)
+        tgt_t = self.final_norm(tgt_t.astype(jnp.float32)).astype(tgt_t.dtype)
+        return self._head(tgt_t), tuple(new_caches)
+
     def mem_kvs(self, memory, mem_pos):
         return tuple(layer.mem_kv(memory, mem_pos) for layer in self.layers)
 
@@ -338,6 +378,14 @@ class TokenEmbedding(nn.Module):
         we = self.word(ids)
         emb = self.ln((we + pe).astype(jnp.float32)).astype(we.dtype)
         return emb, jnp.broadcast_to(pe, emb.shape).astype(emb.dtype)
+
+    def embed_at(self, ids_t, task: str, positions):
+        """Single-token embed with a per-row position (ids_t [B,1],
+        positions [B]) for ragged continuous decode."""
+        pe = self.pos[task](positions)[:, None]          # [B,1,C]
+        we = self.word(ids_t)
+        emb = self.ln((we + pe).astype(jnp.float32)).astype(we.dtype)
+        return emb, pe.astype(emb.dtype)
 
 
 @MODELS.register("omniparser")
