@@ -1,4 +1,5 @@
 from advancedliteratemachinery_tpu.pipelines.modules import (
+    FormulaRecognition,
     LayoutAnalysis,
     TableStructureRecognition,
     TextDetection,
@@ -6,14 +7,21 @@ from advancedliteratemachinery_tpu.pipelines.modules import (
     crop_image,
     order_point,
 )
+from advancedliteratemachinery_tpu.pipelines.file_loading import (
+    load_document,
+    load_image,
+    load_pdf,
+)
 from advancedliteratemachinery_tpu.pipelines.document import (
     DocumentStructurization,
+    convert_document,
     GeneralTextReading,
     TableParsing,
 )
 
 __all__ = [
-    "LayoutAnalysis", "TableStructureRecognition", "TextDetection",
+    "FormulaRecognition", "LayoutAnalysis", "TableStructureRecognition", "TextDetection",
     "TextRecognition", "crop_image", "order_point",
     "DocumentStructurization", "GeneralTextReading", "TableParsing",
+    "convert_document", "load_document", "load_image", "load_pdf",
 ]

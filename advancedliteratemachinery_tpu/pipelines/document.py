@@ -159,3 +159,13 @@ def cells_to_html(cells: List[Dict]) -> str:
         html.append("</tr>")
     html.append("</table>")
     return "".join(html)
+
+
+def convert_document(path: str, structurizer, dpi: int = 150) -> List[Dict]:
+    """Whole-document conversion: every page of an image or PDF file through
+    a DocumentStructurization pipeline → list of per-page results
+    (reference example.py:164 whole_pdf_conversion_example)."""
+    from advancedliteratemachinery_tpu.pipelines.file_loading import (
+        load_document)
+
+    return [structurizer(page) for page in load_document(path, dpi=dpi)]

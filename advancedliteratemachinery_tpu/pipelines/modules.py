@@ -143,3 +143,25 @@ class TableStructureRecognition:
         out = self.predict_fn(image)
         return {"polygons": np.asarray(out["polygons"], np.float32),
                 "logi_coords": np.asarray(out["logi_coords"], np.int32)}
+
+
+class FormulaRecognition:
+    """Math-formula → LaTeX on detected formula regions (reference
+    modules/formula_recognition.py:11 — an ONNX encoder/decoder/resizer
+    trio; here the predictor is injected like every other module, e.g. a
+    jitted image-to-sequence model). `__call__(image)` returns
+    {'latex': str}; `on_regions(image, polygons)` maps each region crop."""
+
+    def __init__(self, latex_fn: Callable[[np.ndarray], str]):
+        self.latex_fn = latex_fn
+
+    def __call__(self, image: np.ndarray) -> Dict:
+        return {"latex": self.latex_fn(np.asarray(image))}
+
+    def on_regions(self, image: np.ndarray, polygons: np.ndarray) -> List[Dict]:
+        out = []
+        for poly in np.asarray(polygons, np.float32).reshape(-1, 4, 2):
+            crop = crop_image(image, order_point(poly.reshape(-1)))
+            out.append({"polygon": poly.reshape(-1),
+                        "latex": self.latex_fn(crop)})
+        return out
