@@ -169,6 +169,94 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_import_ckpt(args) -> int:
+    """Convert a reference torch .pth into an Orbax checkpoint once; the
+    other commands then load it with --ckpt. Families map to
+    engine.checkpoint.TORCH_IMPORTERS."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advancedliteratemachinery_tpu.engine.checkpoint import (
+        TORCH_IMPORTERS,
+        load_torch_state_dict,
+        save_checkpoint,
+    )
+
+    def _mgp():
+        from advancedliteratemachinery_tpu.models.mgp_str import (
+            MGPSTR, MGPSTRConfig)
+        m = MGPSTR(MGPSTRConfig(variant=args.variant))
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 128, 3)))
+        return dict(v)["params"], TORCH_IMPORTERS["mgp_str"]
+
+    def _lister():
+        from advancedliteratemachinery_tpu.models.lister import (
+            LISTER, LISTERConfig)
+        m = LISTER(LISTERConfig(variant=args.variant))
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 128, 3)),
+                   jnp.ones((1, 32, 128)))
+        return dict(v)["params"], TORCH_IMPORTERS["lister"]
+
+    def _levocr():
+        from advancedliteratemachinery_tpu.models.levocr import (
+            LevOCR, LevOCRConfig, LevtDictionary)
+        cfg = LevOCRConfig()
+        m = LevOCR(cfg)
+        d = LevtDictionary(max_len=cfg.max_len)
+        tok = jnp.asarray(d.encode([""]))
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 128, 3)), tok,
+                   tok, train=False)
+        return dict(v), TORCH_IMPORTERS["levocr"]
+
+    def _lore():
+        from advancedliteratemachinery_tpu.models.lore import LORE, LoreConfig
+        m = LORE(LoreConfig())
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)),
+                   method=LORE.infer)
+        full = dict(v)
+
+        def importer(sd, variables):
+            bb = TORCH_IMPORTERS["dla"](sd, {
+                "params": dict(variables["params"]["backbone"]),
+                "batch_stats": dict(variables["batch_stats"]["backbone"])})
+            variables = {k: dict(variables[k]) for k in variables}
+            variables["params"]["backbone"] = bb["params"]
+            variables["batch_stats"]["backbone"] = bb["batch_stats"]
+            return variables
+
+        return full, importer
+
+    def _geolayoutlm():
+        from advancedliteratemachinery_tpu.models.geolayoutlm import (
+            GeoLayoutLM, GeoLayoutLMConfig)
+        m = GeoLayoutLM(GeoLayoutLMConfig())
+        B, S, N = 1, 8, 2
+        batch = dict(
+            input_ids=jnp.zeros((B, S), jnp.int32),
+            image=jnp.zeros((B, 768, 768, 3)),
+            bbox_4p_normalized=jnp.zeros((B, S, 8)),
+            bbox=jnp.zeros((B, S, 4), jnp.int32),
+            attention_mask=jnp.ones((B, S)),
+            first_token_idxes=jnp.zeros((B, N), jnp.int32),
+            block_mask=jnp.ones((B, N)))
+        v = m.init(jax.random.PRNGKey(0), batch)
+        key = ("geolayoutlm_vie" if args.family == "geolayoutlm_vie"
+               else "geolayoutlm_backbone")
+        return dict(v)["params"], TORCH_IMPORTERS[key]
+
+    builders = {"mgp_str": _mgp, "lister": _lister, "levocr": _levocr,
+                "lore": _lore, "geolayoutlm_backbone": _geolayoutlm,
+                "geolayoutlm_vie": _geolayoutlm}
+    template, importer = builders[args.family]()
+    sd = load_torch_state_dict(args.torch_ckpt)
+    imported = importer(sd, jax.tree.map(np.asarray, template))
+    save_checkpoint(args.out, imported)
+    n = len(jax.tree.leaves(imported))
+    print(json.dumps({"family": args.family, "out": args.out, "leaves": n}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="alm-tpu",
                                      description=__doc__.split("\n")[0])
@@ -196,9 +284,19 @@ def main(argv=None) -> int:
 
     sub.add_parser("bench", help="run the repo benchmark")
 
+    p = sub.add_parser("import-ckpt",
+                       help="convert a reference torch .pth → Orbax checkpoint")
+    p.add_argument("family", choices=["mgp_str", "lister", "levocr", "lore",
+                                      "geolayoutlm_backbone",
+                                      "geolayoutlm_vie"])
+    p.add_argument("torch_ckpt")
+    p.add_argument("out")
+    p.add_argument("--variant", default="base")
+
     args = parser.parse_args(argv)
     return {"models": cmd_models, "recognize": cmd_recognize, "read": cmd_read,
-            "structurize": cmd_structurize, "bench": cmd_bench}[args.command](args)
+            "structurize": cmd_structurize, "bench": cmd_bench,
+            "import-ckpt": cmd_import_ckpt}[args.command](args)
 
 
 if __name__ == "__main__":
