@@ -150,6 +150,83 @@ def db_recipe(model, k: float = 50.0, alpha: float = 1.0, beta: float = 10.0
     return loss_fn, make_optimizer(lr=7e-3, total_steps=100_000, grad_clip=5.0)
 
 
+def geolayoutlm_recipe(model) -> Tuple[Callable, Any]:
+    """batch: the VIE dict + bio_labels / el_labels / el_label_mask
+    (reference PL module: AdamW lr 5e-5, linear warmup-decay,
+    lightning_modules/geolayoutlm_vie_module.py)."""
+    from advancedliteratemachinery_tpu.models.geolayoutlm import (
+        geolayoutlm_losses)
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params}, batch, deterministic=False,
+                          rngs={"dropout": rng})
+        m = geolayoutlm_losses(out, batch)
+        return m["loss"], m
+
+    return loss_fn, make_optimizer(lr=5e-5, total_steps=100_000,
+                                   grad_clip=1.0, warmup_steps=1_000)
+
+
+def vlpt_recipe(model) -> Tuple[Callable, Any]:
+    """batch: images, ids/masks for MLM + contrast (reference main.py:95 —
+    AdamW + apex AMP/syncBN; here bf16 + pjit-averaged BatchNorm stats, so
+    use make_mutable_train_step)."""
+    from advancedliteratemachinery_tpu.models.vlpt import vlpt_losses
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, nv = model.apply({"params": params, "batch_stats": batch_stats},
+                              batch, train=True, mutable=["batch_stats"],
+                              rngs={"dropout": rng})
+        m = vlpt_losses(out, batch)
+        return m["loss"], (m, nv["batch_stats"])
+
+    return loss_fn, make_optimizer(lr=1e-4, total_steps=200_000,
+                                   grad_clip=1.0, warmup_steps=2_500)
+
+
+def webrpg_recipe(model, cfg, freeze_vae: bool = True) -> Tuple[Callable, Any]:
+    """batch: html embeddings + parameter ids. The reference trains the
+    element VAE separately and keeps it FROZEN during AR training
+    (trainer_ar.py:128 loads a pretrained VAE) — otherwise the AR latents
+    chase a moving target and the joint loss diverges, so the optimizer
+    zeroes VAE gradients by default. cfg: WebRPGConfig (loss weights)."""
+    import optax
+
+    from advancedliteratemachinery_tpu.models.webrpg import webrpg_losses
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params}, batch, rng,
+                          rngs={"dropout": rng})
+        m = webrpg_losses(out, batch, cfg)
+        return m["loss"], m
+
+    tx = make_optimizer(lr=5e-5, total_steps=300_000, grad_clip=1.0,
+                        warmup_steps=2_000)
+    if freeze_vae:
+        def label(params):
+            return {k: ("frozen" if k == "vae" else "train") for k in params}
+        tx = optax.multi_transform({"train": tx,
+                                    "frozen": optax.set_to_zero()}, label)
+    return loss_fn, tx
+
+
+def trcg_recipe(model, n_image_tokens: int) -> Tuple[Callable, Any]:
+    """LoRA fine-tuning: frozen base, trained adapters — the optimizer IS
+    the freezing mechanism (reference DeepSpeed ZeRO-3 + LoRA r=128;
+    scripts/finetune_flash_attn.sh)."""
+    from advancedliteratemachinery_tpu.models.trcg import (
+        lora_optimizer, trcg_loss)
+
+    def loss_fn(params, batch, rng):
+        logits = model.apply({"params": params}, batch["images"],
+                             batch["input_ids"], deterministic=False,
+                             rngs={"dropout": rng})
+        loss = trcg_loss(logits, batch["input_ids"], n_image_tokens)
+        return loss, {"loss": loss}
+
+    return loss_fn, lora_optimizer()
+
+
 RECIPES: Dict[str, Callable] = {
     "mgp_str": mgp_str_recipe,
     "lister": lister_recipe,
@@ -157,4 +234,8 @@ RECIPES: Dict[str, Callable] = {
     "lore": lore_recipe,
     "levocr": levocr_recipe,
     "db_detector": db_recipe,
+    "geolayoutlm": geolayoutlm_recipe,
+    "vlpt": vlpt_recipe,
+    "webrpg": webrpg_recipe,
+    "trcg": trcg_recipe,
 }
