@@ -137,6 +137,88 @@ class VGTConfig(ConfigBase):
     fpn_dim: int = 256
     merge_type: str = "Concat"          # FeatureMerge.py default style
     num_classes: int = 5                # PubLayNet categories
+    use_beit: bool = False              # BEiT/DiT blocks (VGTbeit.py:361) —
+    layerscale_value: float = 0.1       # required for DiT checkpoint import
+
+
+def _beit_rel_pos_index(wh: int, ww: int) -> np.ndarray:
+    """Static relative-position index table [(wh·ww+1)², ] into a
+    [(2wh−1)(2ww−1)+3, H] bias table (VGTbeit.py:230 Attention — cls row/
+    col/corner use the last 3 slots). Pure numpy: compile-time constant."""
+    num_rel = (2 * wh - 1) * (2 * ww - 1)
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww),
+                                  indexing="ij")).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    n = wh * ww
+    idx = np.zeros((n + 1, n + 1), np.int32)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, :] = num_rel       # cls-to-token
+    idx[:, 0] = num_rel + 1   # token-to-cls
+    idx[0, 0] = num_rel + 2   # cls-to-cls
+    return idx.reshape(-1)
+
+
+class BEiTBlock(nn.Module):
+    """BEiT/DiT pre-norm block: qkv without bias + learned q/v biases (k bias
+    fixed at zero), static-window relative-position bias, layerscale
+    (VGTbeit.py:230 Attention + :361 Block). Window is (Hp, Wp) + cls."""
+
+    dim: int
+    heads: int
+    window: Tuple[int, int]
+    mlp_ratio: float = 4.0
+    layerscale_value: float = 0.1
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        p = self.policy
+        B, N, D = x.shape
+        H, hd = self.heads, self.dim // self.heads
+        wh, ww = self.window
+
+        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
+                         name="norm1")(x).astype(p.compute_dtype)
+        qkv_w = nn.Dense(3 * D, use_bias=False, dtype=p.compute_dtype,
+                         param_dtype=p.param_dtype, name="qkv")
+        q_bias = self.param("q_bias", nn.initializers.zeros, (D,),
+                            p.param_dtype)
+        v_bias = self.param("v_bias", nn.initializers.zeros, (D,),
+                            p.param_dtype)
+        qkv = qkv_w(h) + jnp.concatenate(
+            [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(h.dtype)
+        q, k, v = jnp.split(qkv.reshape(B, N, 3, H, hd), 3, axis=2)
+        q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
+
+        s = jnp.einsum("bihd,bjhd->bhij", q, k) / (hd ** 0.5)
+        num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+        table = self.param("rel_pos_table", nn.initializers.zeros,
+                           (num_rel, H), p.param_dtype)
+        idx = jnp.asarray(_beit_rel_pos_index(wh, ww))
+        bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)
+        s = s + bias[None].astype(s.dtype)
+        a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype)
+        o = jnp.einsum("bhij,bjhd->bihd", a, v).reshape(B, N, D)
+        o = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="proj")(o)
+        g1 = self.param("gamma_1", nn.initializers.constant(
+            self.layerscale_value), (D,), p.param_dtype)
+        g2 = self.param("gamma_2", nn.initializers.constant(
+            self.layerscale_value), (D,), p.param_dtype)
+        x = x + g1.astype(o.dtype) * o
+
+        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
+                         name="norm2")(x).astype(p.compute_dtype)
+        h = nn.Dense(int(D * self.mlp_ratio), dtype=p.compute_dtype,
+                     param_dtype=p.param_dtype, name="mlp_fc1")(h)
+        h = _gelu(h)
+        h = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                     name="mlp_fc2")(h)
+        return x + g2.astype(h.dtype) * h
 
 
 @MODELS.register("vgt")
@@ -182,11 +264,22 @@ class VGTBackbone(nn.Module):
                                 grid], 1) + gpos.astype(grid.dtype)
 
         for i in range(cfg.self_depth):
-            vis = EncoderBlock(D, cfg.num_heads, policy=p,
-                               name=f"blocks_{i}")(vis, deterministic=deterministic)
-            grid = EncoderBlock(D, cfg.num_heads, policy=p,
-                                name=f"grid_blocks_{i}")(grid,
-                                                         deterministic=deterministic)
+            if cfg.use_beit:
+                vis = BEiTBlock(D, cfg.num_heads, (Hp, Wp),
+                                layerscale_value=cfg.layerscale_value,
+                                policy=p, name=f"blocks_{i}")(
+                    vis, deterministic=deterministic)
+                grid = BEiTBlock(D, cfg.num_heads, (Hp, Wp),
+                                 layerscale_value=cfg.layerscale_value,
+                                 policy=p, name=f"grid_blocks_{i}")(
+                    grid, deterministic=deterministic)
+            else:
+                vis = EncoderBlock(D, cfg.num_heads, policy=p,
+                                   name=f"blocks_{i}")(
+                    vis, deterministic=deterministic)
+                grid = EncoderBlock(D, cfg.num_heads, policy=p,
+                                    name=f"grid_blocks_{i}")(
+                    grid, deterministic=deterministic)
 
         feats: List[jnp.ndarray] = []
         gfeats: List[jnp.ndarray] = []
