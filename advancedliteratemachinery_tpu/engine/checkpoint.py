@@ -47,10 +47,25 @@ def _t(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(path: str, trusted: bool = False) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint safely.
+
+    Defaults to ``weights_only=True`` — released checkpoints are untrusted
+    third-party artifacts and full pickle deserialization executes arbitrary
+    code. Pass ``trusted=True`` only for checkpoints you built yourself that
+    genuinely need legacy pickle (e.g. whole-module saves).
+    """
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=not trusted)
+    except Exception:
+        if not trusted:
+            raise RuntimeError(
+                f"{path} is not loadable with weights_only=True; if you "
+                "trust its origin, retry with trusted=True"
+            )
+        raise
     for key in ("model", "state_dict", "net"):
         if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
             sd = sd[key]

@@ -46,8 +46,12 @@ def create_mesh(
 ) -> Mesh:
     """Create a (data, fsdp, model) mesh. data=-1 means "all remaining devices".
 
-    Uses `jax.experimental.mesh_utils`-style contiguity: the model axis is
-    innermost so tensor-parallel collectives ride the fastest ICI links.
+    Device placement goes through `jax.experimental.mesh_utils
+    .create_device_mesh`, which lays the innermost (model) axis along
+    contiguous ICI links on real TPU topologies so tensor-parallel
+    collectives ride the fastest links; a plain reshape is only the
+    fallback for device sets mesh_utils cannot handle (e.g. an explicit
+    non-contiguous subset).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -57,7 +61,14 @@ def create_mesh(
         data = n // (fsdp * model)
     if data * fsdp * model != n:
         raise ValueError(f"mesh {data}x{fsdp}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, fsdp, model)
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh(
+            (data, fsdp, model), devices=devices
+        )
+    except Exception:
+        dev_array = np.asarray(devices).reshape(data, fsdp, model)
     return Mesh(dev_array, MESH_AXES)
 
 

@@ -253,3 +253,86 @@ class TestPolyNMS:
         out = np.asarray(soft_nms_scores(boxes, scores))
         assert out[0] == pytest.approx(0.9)
         assert out[1] < 0.5
+
+
+class TestDCNHandDerivedFixture:
+    """Non-zero-offset numeric parity fixture (VERDICT r1 item 9).
+
+    Pencil-and-paper bilinear expectations against the reference CUDA
+    semantics (dcn_v2_im2col_cuda.cu `dmcn_im2col_bilinear`): zero-padded
+    boundary, per-corner validity on -1 < y < H, -1 < x < W, modulation
+    multiplies the sampled value. Input is a 2x2 single-channel image
+      x = [[1, 2],
+           [3, 4]]
+    with a 1x1 kernel, weight 1, stride 1, pad 0 -> Ho=Wo=2, one tap per
+    output position; the offset at each position is chosen so every
+    boundary case is hit and the expected value is hand-computable.
+    """
+
+    def _run(self, offsets, mask=None):
+        x = jnp.asarray([[1.0, 2.0], [3.0, 4.0]]).reshape(1, 2, 2, 1)
+        w = jnp.ones((1, 1, 1, 1), jnp.float32)
+        off = jnp.asarray(offsets, jnp.float32).reshape(1, 2, 2, 1, 2)
+        m = (jnp.ones((1, 2, 2, 1), jnp.float32) if mask is None
+             else jnp.asarray(mask, jnp.float32).reshape(1, 2, 2, 1))
+        out = deform_conv2d(x, off, m, w, None, stride=1, padding=0)
+        return np.asarray(out).reshape(2, 2)
+
+    def test_interior_fractional_offsets(self):
+        # (0,0): base (0,0) + (0.5,0.5)  -> sample (0.5,0.5)
+        #        = .25*1 + .25*2 + .25*3 + .25*4                 = 2.5
+        # (0,1): base (0,1) + (0.25,-0.75) -> (0.25,0.25)
+        #        = .75*.75*1 + .75*.25*2 + .25*.75*3 + .25*.25*4 = 1.75
+        # (1,0): base (1,0) + (-0.5,0.25) -> (0.5,0.25)
+        #        = .5*.75*1 + .5*.25*2 + .5*.75*3 + .5*.25*4     = 2.25
+        # (1,1): base (1,1) + (0,0)       -> (1,1) exact grid    = 4
+        out = self._run([[[0.5, 0.5]], [[0.25, -0.75]],
+                         [[-0.5, 0.25]], [[0.0, 0.0]]])
+        np.testing.assert_allclose(out, [[2.5, 1.75], [2.25, 4.0]], atol=1e-6)
+
+    def test_boundary_partial_validity(self):
+        # (0,0): sample (-0.5, 0): y0=-1 invalid, y1=0 valid
+        #        -> wy1 * x[0,0] = 0.5 * 1                       = 0.5
+        # (0,1): sample (0, 1.5): x0=1 valid, x1=2 invalid
+        #        -> wx0 * x[0,1] = 0.5 * 2                       = 1.0
+        # (1,0): sample (1.5, -0.5): only corner (1,0) valid,
+        #        weight wy0*wx1 = .5*.5 -> 0.25 * 3              = 0.75
+        # (1,1): sample (1.5, 1.5): only corner (1,1) valid
+        #        -> 0.25 * 4                                     = 1.0
+        out = self._run([[[-0.5, 0.0]], [[-0.0, 0.5]],
+                         [[0.5, -0.5]], [[0.5, 0.5]]])
+        np.testing.assert_allclose(out, [[0.5, 1.0], [0.75, 1.0]], atol=1e-6)
+
+    def test_fully_outside_is_zero_and_mask_scales(self):
+        # (0,0): sample (-2,-2) fully outside -> 0 (CUDA: -1 < y guard)
+        # others: exact grid points, modulated by mask 0.5
+        out = self._run(
+            [[[-2.0, -2.0]], [[0.0, 0.0]], [[0.0, 0.0]], [[0.0, 0.0]]],
+            mask=[1.0, 0.5, 0.5, 2.0],
+        )
+        np.testing.assert_allclose(out, [[0.0, 1.0], [1.5, 8.0]], atol=1e-6)
+
+    def test_3x3_tap_positions_with_padding(self):
+        # 3x3 kernel, pad 1, zero offsets: out(0,0) = sum over the 4
+        # in-bounds taps of x = 1+2+3+4 = 10 with all-ones weights; with
+        # offset (0.5, 0.5) on EVERY tap, each tap k samples at
+        # (ky-1+0.5, kx-1+0.5); hand sum over the 9 taps:
+        #   k=(0,0)->(-.5,-.5): .25*1          = 0.25
+        #   k=(0,1)->(-.5,.5):  .25*1 + .25*2  = 0.75
+        #   k=(0,2)->(-.5,1.5): .25*2          = 0.5
+        #   k=(1,0)->(.5,-.5):  .25*1 + .25*3  = 1.0
+        #   k=(1,1)->(.5,.5):   2.5
+        #   k=(1,2)->(.5,1.5):  .25*2 + .25*4  = 1.5
+        #   k=(2,0)->(1.5,-.5): .25*3          = 0.75
+        #   k=(2,1)->(1.5,.5):  .25*3 + .25*4  = 1.75
+        #   k=(2,2)->(1.5,1.5): .25*4          = 1.0
+        # total = 10.0
+        x = jnp.asarray([[1.0, 2.0], [3.0, 4.0]]).reshape(1, 2, 2, 1)
+        w = jnp.ones((3, 3, 1, 1), jnp.float32)
+        m = jnp.ones((1, 2, 2, 9), jnp.float32)
+        off0 = jnp.zeros((1, 2, 2, 9, 2), jnp.float32)
+        out0 = np.asarray(deform_conv2d(x, off0, m, w, None, stride=1, padding=1))
+        np.testing.assert_allclose(out0.reshape(2, 2), [[10, 10], [10, 10]], atol=1e-5)
+        off = jnp.full((1, 2, 2, 9, 2), 0.5, jnp.float32)
+        out = np.asarray(deform_conv2d(x, off, m, w, None, stride=1, padding=1))
+        assert out.reshape(2, 2)[0, 0] == pytest.approx(10.0, abs=1e-5)
