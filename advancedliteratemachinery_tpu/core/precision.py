@@ -21,6 +21,10 @@ class Policy:
     param_dtype: Any = jnp.float32
     compute_dtype: Any = jnp.bfloat16
     output_dtype: Any = jnp.float32
+    # Inference-only fast path: skip the max-subtraction pass inside fused
+    # attention softmax (exp overflows f32 only past logit ~88, which
+    # trained encoders never approach). Training keeps the safe default.
+    unsafe_softmax: bool = False
 
     def cast_to_compute(self, tree):
         return jax.tree.map(

@@ -100,7 +100,8 @@ class _TrackingDict(dict):
         return super().__contains__(key)
 
 
-_BUFFER_SUFFIXES = ("num_batches_tracked", "position_ids", ".pe", "version")
+_BUFFER_SUFFIXES = ("num_batches_tracked", "position_ids", ".pe", "version",
+                    "relative_position_index")
 
 
 def _warn_unused(p: "_TrackingDict", importer: str) -> None:
@@ -898,6 +899,99 @@ def import_geolayoutlm_vie(sd: Dict[str, np.ndarray], params: Dict) -> Dict:
                         _validate_shapes(params, out, "import_geolayoutlm_vie"))
 
 
+def _omni_decoder_layer(p: "_TrackingDict", dst: Dict, pre: str) -> None:
+    """One DETR pre-norm decoder layer (reference model/transformer.py:380
+    TransformerDecoderLayer): torch MultiheadAttention packs q|k|v rows in
+    in_proj_weight [3D, D]."""
+    for attn, ours in (("self_attn", "sa"), ("multihead_attn", "ca")):
+        w = p[pre + f"{attn}.in_proj_weight"]
+        b = p[pre + f"{attn}.in_proj_bias"]
+        D = w.shape[1]
+        for j, which in enumerate(("q", "k", "v")):
+            dst[f"{ours}_{which}"]["kernel"] = linear_kernel(w[j * D:(j + 1) * D])
+            dst[f"{ours}_{which}"]["bias"] = b[j * D:(j + 1) * D]
+        dst[f"{ours}_out"]["kernel"] = linear_kernel(p[pre + f"{attn}.out_proj.weight"])
+        dst[f"{ours}_out"]["bias"] = p[pre + f"{attn}.out_proj.bias"]
+    dst["ff1"]["kernel"] = linear_kernel(p[pre + "linear1.weight"])
+    dst["ff1"]["bias"] = p[pre + "linear1.bias"]
+    dst["ff2"]["kernel"] = linear_kernel(p[pre + "linear2.weight"])
+    dst["ff2"]["bias"] = p[pre + "linear2.bias"]
+    for n in ("norm1", "norm2", "norm3"):
+        dst[n]["scale"] = p[pre + f"{n}.weight"]
+        dst[n]["bias"] = p[pre + f"{n}.bias"]
+
+
+def import_omniparser(sd: Dict[str, np.ndarray], params: Dict,
+                      prefix: str = "") -> Dict:
+    """Full OmniParser checkpoint → our flax param tree.
+
+    Covers everything the reference Checkpointer loads
+    (OCR/OmniParser/utils/checkpointer.py:5): Swin backbone (Joiner element
+    0, model/backbone/__init__.py:23 — Swin is not body-wrapped, unlike
+    ResNet), FPN laterals (model/fpn.py:17 fpn_in[0..3] apply to c5..c2 —
+    the same order as our lat0..3), input_proj (1x1 stride-2 conv,
+    model/omniparser.py:15), DecoderEmbeddings (word + 3 task position
+    embeddings + LayerNorm, model/transformer.py:283-328; the unused
+    `other_position_embeddings` is skipped), and the three task decoders +
+    3-layer MLP pred heads (model/transformer.py:26-37).
+
+    For VIE checkpoints with added categories, run the embedding-resize
+    surgery (`resize_embedding`) on the result, mirroring
+    checkpointer.py:9 resize_embedding.
+    """
+    out = jax.tree.map(np.asarray, params)
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
+
+    # ---- Swin backbone ----
+    swin_sd = {k: v for k, v in p.items() if k.startswith("backbone.0.")}
+    for k in swin_sd:
+        p.read.add(k)
+    out["backbone"] = jax.tree.map(
+        np.asarray,
+        import_swin(swin_sd, out["backbone"], prefix="backbone.0."))
+
+    # ---- FPN laterals (1x1 convs → Dense kernels) ----
+    for i in range(4):
+        w = p[f"fpn.fpn_in.{i}.weight"]           # [256, cin, 1, 1]
+        out["fpn"][f"lat{i}"]["kernel"] = w[:, :, 0, 0].T
+        if f"fpn.fpn_in.{i}.bias" in p:
+            out["fpn"][f"lat{i}"]["bias"] = p[f"fpn.fpn_in.{i}.bias"]
+
+    # ---- input_proj ----
+    out["input_proj"]["kernel"] = conv_kernel(p["input_proj.weight"])
+    out["input_proj"]["bias"] = p["input_proj.bias"]
+
+    # ---- DecoderEmbeddings ----
+    emb = out["embedding"]
+    emb["word"]["embedding"] = p["transformer.embedding.word_embeddings.weight"]
+    for t in ("pt", "poly", "rec"):
+        emb[f"{t}_pos"]["embedding"] = \
+            p[f"transformer.embedding.{t}_position_embeddings.weight"]
+    p.read.add("transformer.embedding.other_position_embeddings.weight")
+    emb["ln"]["scale"] = p["transformer.embedding.LayerNorm.weight"]
+    emb["ln"]["bias"] = p["transformer.embedding.LayerNorm.bias"]
+
+    # ---- task decoders + pred heads ----
+    for t in ("pt", "poly", "rec"):
+        dec = out[f"{t}_decoder"]
+        i = 0
+        while f"layer_{i}" in dec:
+            _omni_decoder_layer(p, dec[f"layer_{i}"],
+                                f"transformer.{t}_decoder.layers.{i}.")
+            i += 1
+        dec["final_norm"]["scale"] = p[f"transformer.{t}_decoder.norm.weight"]
+        dec["final_norm"]["bias"] = p[f"transformer.{t}_decoder.norm.bias"]
+        for j, h in enumerate(("head1", "head2", "head3")):
+            dec[h]["kernel"] = linear_kernel(
+                p[f"transformer.{t}_pred_layer.layers.{j}.weight"])
+            dec[h]["bias"] = p[f"transformer.{t}_pred_layer.layers.{j}.bias"]
+
+    _warn_unused(p, "import_omniparser")
+    return jax.tree.map(jnp.asarray,
+                        _validate_shapes(params, out, "import_omniparser"))
+
+
 TORCH_IMPORTERS: Dict[str, Callable] = {
     "mgp_str": import_mgp_str,
     "swin": import_swin,
@@ -909,4 +1003,5 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "levocr": import_levocr,      # full variables
     "geolayoutlm_backbone": import_geolayoutlm_backbone,
     "geolayoutlm_vie": import_geolayoutlm_vie,
+    "omniparser": import_omniparser,
 }

@@ -33,10 +33,13 @@ class MGPSTRInference:
 
         # inference policy: keep logits in the compute dtype — the decode
         # reductions upcast to fp32 themselves, and a [B, 27, 50304] fp32
-        # logits buffer would double HBM traffic for nothing
-        if model.policy.compute_dtype != model.policy.output_dtype:
-            model = type(model)(model.config, policy=_dc.replace(
-                model.policy, output_dtype=model.policy.compute_dtype))
+        # logits buffer would double HBM traffic for nothing. Also enable
+        # the unsafe-softmax fast path in fused attention (inference only).
+        pol = _dc.replace(model.policy,
+                          output_dtype=model.policy.compute_dtype,
+                          unsafe_softmax=True)
+        if pol != model.policy:
+            model = type(model)(model.config, policy=pol)
         self.model = model
         # pre-cast params to the compute dtype once: halves weight HBM
         # traffic per call (the 768x50304 BPE head alone is 154MB in fp32)

@@ -2,9 +2,13 @@
 
 Design notes:
 - Attention QKV is one fused projection (a single large matmul feeds the MXU
-  better than three); the attention itself is explicit einsums, which
-  measured 1.56x faster than jax.nn.dot_product_attention on v5e at OCR
-  sequence lengths.
+  better than three). On TPU the attention consumes that projection output
+  directly via ops.attention.fused_qkv_attention — a Pallas kernel in the
+  natural [B, S, 3D] layout (profiling showed the BSHD→BHSD transposes, not
+  the compute, dominate any per-head kernel; the fused-qkv layout halves the
+  whole sublayer: 8.86→3.96 ms at ViT-base B=256 on v5e). Masked/CPU paths
+  fall back to explicit einsums, which measured 1.56x faster than
+  jax.nn.dot_product_attention on v5e at OCR sequence lengths.
 - All matmuls run in the policy compute dtype (bf16); layernorms accumulate
   in fp32.
 """
@@ -77,23 +81,27 @@ class MultiHeadSelfAttention(nn.Module):
 
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=c,
                        param_dtype=self.policy.param_dtype, name="qkv")(x)
-        # contiguous last-axis split (measured slightly faster than the
-        # interleaved [B,N,3,H,hd] reshape+index on v5e); layout matches
-        # timm's qkv weight (q rows first, then k, then v)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, N, H, head_dim)
-        k = k.reshape(B, N, H, head_dim)
-        v = v.reshape(B, N, H, head_dim)
+        # timm qkv weight layout (q rows | k rows | v rows) — exactly the
+        # [B, N, 3D] concatenation fused_qkv_attention consumes.
+        from advancedliteratemachinery_tpu.ops.attention import (
+            fused_qkv_attention, supports_fused_qkv)
 
-        # explicit einsum attention: measured 1.56x faster than
-        # jax.nn.dot_product_attention on v5e for short OCR sequences
-        # (S~257) — the fused kernel's blocking doesn't pay off there.
-        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
-        if mask is not None:
-            s = jnp.where(mask, s, jnp.finfo(jnp.float32).min)
-        a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", a, v)
-        out = out.reshape(B, N, D)
+        if mask is None and supports_fused_qkv(B, N, D, H):
+            out = fused_qkv_attention(
+                qkv, H, safe=not self.policy.unsafe_softmax)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, N, H, head_dim)
+            k = k.reshape(B, N, H, head_dim)
+            v = v.reshape(B, N, H, head_dim)
+            # explicit einsum attention: measured 1.56x faster than
+            # jax.nn.dot_product_attention on v5e at short OCR sequences.
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
+            if mask is not None:
+                s = jnp.where(mask, s, jnp.finfo(jnp.float32).min)
+            a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", a, v)
+            out = out.reshape(B, N, D)
         out = nn.Dense(D, dtype=c, param_dtype=self.policy.param_dtype, name="proj")(out)
         out = nn.Dropout(self.proj_dropout)(out, deterministic=deterministic)
         return out

@@ -91,8 +91,11 @@ class FPN(nn.Module):
         p2 = lat[3](c2) + up_to(p3, c2)
 
         def bil_to(x, ref):
+            # antialias=False: torch F.interpolate(mode="bilinear") does not
+            # antialias on downscale (fpn.py:40-42 resizes p2 down to c3)
             return jax.image.resize(x, (x.shape[0], ref.shape[1], ref.shape[2],
-                                        x.shape[-1]), method="bilinear")
+                                        x.shape[-1]), method="bilinear",
+                                    antialias=False)
 
         return jnp.concatenate([bil_to(p2, c3), p3, bil_to(p4, c3), bil_to(p5, c3)],
                                axis=-1)
@@ -116,6 +119,9 @@ class OmniParserConfig(ConfigBase):
     rec_length: int = 25
     max_instances: int = 128
     drop_path_rate: float = 0.2
+    # explicit backbone override (None → the named swin_variant); used by
+    # tests and non-standard backbones
+    swin: object = None
 
     def vocab(self) -> CoordSeqVocab:
         kw = dict(num_bins=self.num_bins, vie_categories=self.vie_categories)
@@ -398,9 +404,10 @@ class OmniParser(nn.Module):
         p = self.policy
         self.vocab_layout = c.vocab()
         nc = self.vocab_layout.num_classes
-        self.backbone = SwinTransformer(
-            SWIN_VARIANTS[c.swin_variant].replace(drop_path_rate=c.drop_path_rate),
-            policy=p)
+        swin_cfg = (c.swin if c.swin is not None else
+                    SWIN_VARIANTS[c.swin_variant].replace(
+                        drop_path_rate=c.drop_path_rate))
+        self.backbone = SwinTransformer(swin_cfg, policy=p)
         self.fpn = FPN(256, policy=p)
         self.input_proj = nn.Conv(c.d_model, (1, 1), strides=(2, 2),
                                   dtype=p.compute_dtype, param_dtype=p.param_dtype)

@@ -23,6 +23,130 @@ def normalize_crops(images_u8: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return x.astype(dtype)
 
 
+@partial(jax.jit, static_argnames=("out_hw", "dtype", "patch_hw"))
+def crop_rects(
+    images_u8: jnp.ndarray,
+    quads: jnp.ndarray,
+    out_hw: Tuple[int, int] = (32, 128),
+    dtype=jnp.bfloat16,
+    patch_hw: Tuple[int, int] = (64, 256),
+) -> jnp.ndarray:
+    """Fast axis-aligned crop extraction: patch slice + separable resample.
+
+    images_u8: [P, H, W, C] uint8; quads: [P, K, 4, 2] *axis-aligned* boxes
+    (only the min/max x/y of the 4 corners are used). Returns [P, K, h, w, C]
+    normalized to [-1, 1].
+
+    XLA's per-element gather runs at ~0.4 G elems/s on v5e, making the
+    general `warp_quad_crops` cost ~73 ms for 512 crops. This path instead
+    dynamic-slices one fixed-size [patch_h, patch_w] region per crop (a
+    chunky gather — 512 indices instead of 25M) and resamples with two
+    small dense interpolation matmuls on the MXU: 4 ms for the same
+    workload (18x). Exact bilinear parity with warp_quad_crops for
+    axis-aligned boxes (f32 interp). Boxes larger than `patch_hw` are
+    effectively cropped to it — choose patch_hw ≥ the detector's max box.
+    """
+    P, H, W, C = images_u8.shape
+    h, w = out_hw
+    ph, pw = patch_hw
+    q = quads.astype(jnp.float32)
+    qx, qy = q[..., 0], q[..., 1]
+    x0, x1 = qx.min(-1), qx.max(-1)
+    y0, y1 = qy.min(-1), qy.max(-1)
+    ys = jnp.clip(jnp.floor(y0).astype(jnp.int32) - 1, 0, max(H - ph, 0))
+    xs = jnp.clip(jnp.floor(x0).astype(jnp.int32) - 1, 0, max(W - pw, 0))
+
+    def slice_one(img, ys_, xs_):
+        return jax.lax.dynamic_slice(img, (ys_, xs_, 0), (ph, pw, C))
+
+    patches = jax.vmap(jax.vmap(slice_one, in_axes=(None, 0, 0)),
+                       in_axes=(0, 0, 0))(images_u8, ys, xs)
+    patches = patches.astype(jnp.float32)                  # [P, K, ph, pw, C]
+
+    iy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    jx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    sy = y0[..., None] + iy * (y1 - y0)[..., None] - 0.5 - ys[..., None]
+    sx = x0[..., None] + jx * (x1 - x0)[..., None] - 0.5 - xs[..., None]
+    ty = jnp.arange(ph, dtype=jnp.float32)
+    tx = jnp.arange(pw, dtype=jnp.float32)
+    Ry = jnp.maximum(0.0, 1.0 - jnp.abs(sy[..., None] - ty))  # [P, K, h, ph]
+    Rx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[..., None] - tx))  # [P, K, w, pw]
+    t1 = jnp.einsum("pkiy,pkyxc->pkixc", Ry, patches)
+    out = jnp.einsum("pkixc,pkjx->pkijc", t1, Rx)
+    out = out * (2.0 / 255.0) - 1.0
+    return out.astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("out_hw", "dtype"))
+def warp_quad_crops(
+    images_u8: jnp.ndarray,
+    quads: jnp.ndarray,
+    out_hw: Tuple[int, int] = (32, 128),
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Batched device-side quad→rect crop extraction.
+
+    images_u8: [P, H, W, C] uint8 pages; quads: [P, K, 4, 2] float (x, y)
+    corner coordinates in [tl, tr, br, bl] order (modules.order_point
+    convention), expressed in pixel-corner space (a full-image quad is
+    [(0,0), (W,0), (W,H), (0,H)]). Returns [P, K, h, w, C] crops normalized
+    to [-1, 1] in `dtype`.
+
+    This is the TPU replacement for the reference's per-box host crop
+    (DocXChain modules/text_recognition.py:100 crop_image): a bilinear
+    ruled-surface warp p(u,v) = Σ corner·weight, sampled once per output
+    pixel and gathered in one XLA op per page batch. For rectangles and
+    parallelograms this matches cv2's perspective warp exactly; for true
+    perspective quads it deviates slightly (documented divergence — the
+    host path in pipelines/modules.py remains the perspective reference).
+    """
+    P, H, W, C = images_u8.shape
+    K = quads.shape[1]
+    h, w = out_hw
+    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w          # [w]
+    v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h          # [h]
+    uu = u[None, :]
+    vv = v[:, None]
+    # ruled-surface corner weights [h, w]
+    w_tl = (1 - uu) * (1 - vv)
+    w_tr = uu * (1 - vv)
+    w_br = uu * vv
+    w_bl = (1 - uu) * vv
+    wts = jnp.stack([w_tl, w_tr, w_br, w_bl], axis=0)         # [4, h, w]
+    q = quads.astype(jnp.float32)                             # [P, K, 4, 2]
+    # source coords in pixel-corner space → pixel-center index space
+    src = jnp.einsum("pkcd,chw->pkhwd", q, wts) - 0.5         # [P, K, h, w, 2]
+    x = src[..., 0]
+    y = src[..., 1]
+    x0 = jnp.clip(jnp.floor(x), 0, W - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+
+    flat = images_u8.reshape(P, H * W, C).astype(jnp.float32)
+
+    def gather(yi, xi):
+        idx = (yi * W + xi).reshape(P, K * h * w)             # [P, Khw]
+        g = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+        return g.reshape(P, K, h, w, C)
+
+    g00 = gather(y0i, x0i)
+    g01 = gather(y0i, x1i)
+    g10 = gather(y1i, x0i)
+    g11 = gather(y1i, x1i)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = g00 * (1 - fx) + g01 * fx
+    bot = g10 * (1 - fx) + g11 * fx
+    out = top * (1 - fy) + bot * fy
+    out = out * (2.0 / 255.0) - 1.0
+    return out.astype(dtype)
+
+
 @partial(jax.jit, static_argnames=("out_hw", "dtype", "antialias"))
 def resize_word_crops(
     images_u8: jnp.ndarray,

@@ -2,7 +2,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from advancedliteratemachinery_tpu.ops.attention import attention, mha_short_seq
+from advancedliteratemachinery_tpu.ops.attention import (
+    attention, fused_qkv_attention, mha_short_seq, supports_fused_qkv)
 
 
 def _einsum_ref(q, k, v, scale):
@@ -31,6 +32,27 @@ class TestAttentionDispatch:
         v2 = v.at[:, 3].set(99.0)
         out2 = attention(q, k, v2, mask=mask)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+    def test_fused_qkv_interpret_mode(self):
+        """fused_qkv_attention (the encoder hot path on TPU) vs einsum
+        oracle, run in Pallas interpreter mode on CPU — both safe and
+        unsafe-softmax variants."""
+        B, S, H, hd = 2, 16, 2, 64
+        D = H * hd
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, hd))
+        k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, hd))
+        v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, hd))
+        qkv = jnp.concatenate(
+            [t.reshape(B, S, D) for t in (q, k, v)], axis=-1)
+        want = _einsum_ref(q, k, v, hd ** -0.5).reshape(B, S, D)
+        for safe in (True, False):
+            got = fused_qkv_attention(qkv, H, safe=safe, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_supports_fused_qkv_gates(self):
+        # CPU backend → never
+        assert not supports_fused_qkv(8, 257, 768, 12)
 
     def test_pallas_kernel_interpret_mode(self):
         """Run the Pallas kernel in interpreter mode on CPU vs einsum oracle."""

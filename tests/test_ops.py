@@ -336,3 +336,65 @@ class TestDCNHandDerivedFixture:
         off = jnp.full((1, 2, 2, 9, 2), 0.5, jnp.float32)
         out = np.asarray(deform_conv2d(x, off, m, w, None, stride=1, padding=1))
         assert out.reshape(2, 2)[0, 0] == pytest.approx(10.0, abs=1e-5)
+
+
+class TestWarpQuadCrops:
+    def test_full_image_identity(self):
+        from advancedliteratemachinery_tpu.ops.image import warp_quad_crops
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (1, 8, 12, 3), dtype=np.uint8)
+        quad = np.array([[[[0, 0], [12, 0], [12, 8], [0, 8]]]], np.float32)
+        out = np.asarray(warp_quad_crops(jnp.asarray(img), jnp.asarray(quad),
+                                         out_hw=(8, 12), dtype=jnp.float32))
+        want = img[0].astype(np.float32) * (2.0 / 255.0) - 1.0
+        np.testing.assert_allclose(out[0, 0], want, atol=1e-5)
+
+    def test_axis_aligned_subrect_matches_numpy(self):
+        from advancedliteratemachinery_tpu.ops.image import warp_quad_crops
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (1, 16, 16, 1), dtype=np.uint8)
+        # rect x in [4,8), y in [2,6) at output 4x4 → identity on that region
+        quad = np.array([[[[4, 2], [8, 2], [8, 6], [4, 6]]]], np.float32)
+        out = np.asarray(warp_quad_crops(jnp.asarray(img), jnp.asarray(quad),
+                                         out_hw=(4, 4), dtype=jnp.float32))
+        want = img[0, 2:6, 4:8].astype(np.float32) * (2.0 / 255.0) - 1.0
+        np.testing.assert_allclose(out[0, 0], want, atol=1e-5)
+
+    def test_parallelogram_bilinear_oracle(self):
+        from advancedliteratemachinery_tpu.ops.image import warp_quad_crops
+
+        img = np.zeros((1, 6, 6, 1), np.uint8)
+        img[0, :, :, 0] = np.arange(36).reshape(6, 6)
+        # 1-output-pixel crop centered mid-quad: sample at centroid
+        quad = np.array([[[[1, 1], [4, 1], [5, 4], [2, 4]]]], np.float32)
+        out = np.asarray(warp_quad_crops(jnp.asarray(img), jnp.asarray(quad),
+                                         out_hw=(1, 1), dtype=jnp.float32))
+        # u=v=0.5 → src = mean of corners = (3.0, 2.5) → index (x=2.5, y=2.0)
+        # fy=0 → row 2 only; fx=0.5 → mean of cols 2,3: (14+15)/2
+        want = 14.5 * (2.0 / 255.0) - 1.0
+        np.testing.assert_allclose(out[0, 0, 0, 0, 0], want, atol=1e-5)
+
+
+class TestCropRects:
+    def test_matches_warp_quad_crops_axis_aligned(self):
+        from advancedliteratemachinery_tpu.ops.image import (
+            crop_rects, warp_quad_crops)
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (2, 32, 48, 3), dtype=np.uint8)
+        q = np.zeros((2, 3, 4, 2), np.float32)
+        for p in range(2):
+            for k in range(3):
+                x0 = rng.uniform(1, 20); y0 = rng.uniform(1, 12)
+                bw = rng.uniform(5, 20); bh = rng.uniform(4, 12)
+                q[p, k] = [[x0, y0], [x0 + bw, y0], [x0 + bw, y0 + bh],
+                           [x0, y0 + bh]]
+        want = np.asarray(warp_quad_crops(
+            jnp.asarray(img), jnp.asarray(q), out_hw=(8, 16),
+            dtype=jnp.float32))
+        got = np.asarray(crop_rects(
+            jnp.asarray(img), jnp.asarray(q), out_hw=(8, 16),
+            dtype=jnp.float32, patch_hw=(16, 24)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
