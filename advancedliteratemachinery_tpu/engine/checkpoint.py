@@ -899,6 +899,70 @@ def import_geolayoutlm_vie(sd: Dict[str, np.ndarray], params: Dict) -> Dict:
                         _validate_shapes(params, out, "import_geolayoutlm_vie"))
 
 
+def _lore_tsfm(p: "_TrackingDict", dst: Dict, pre: str) -> None:
+    """Map one vendored-transformer (LORE-TSR transformer.py:48) onto our
+    LoreTransformer subtree: linear → layers.{i}.{norm_1,attn,norm_2,ff} →
+    decoder.linear.{0,2}. The reference Encoder's `norm` and `pe` members
+    are dead code (never applied in forward) and are skipped."""
+    dst["in_proj"]["kernel"] = linear_kernel(p[pre + "linear.weight"])
+    dst["in_proj"]["bias"] = p[pre + "linear.bias"]
+    i = 0
+    while f"layer_{i}" in dst:
+        lay = dst[f"layer_{i}"]
+        lp = pre + f"encoder.layers.{i}."
+        for n in ("1", "2"):
+            lay[f"norm{n}_alpha"] = p[lp + f"norm_{n}.alpha"]
+            lay[f"norm{n}_bias"] = p[lp + f"norm_{n}.bias"]
+        for ours, theirs in (("q", "q_linear"), ("k", "k_linear"),
+                             ("v", "v_linear"), ("out", "out")):
+            lay[ours]["kernel"] = linear_kernel(p[lp + f"attn.{theirs}.weight"])
+            lay[ours]["bias"] = p[lp + f"attn.{theirs}.bias"]
+        lay["ff1"]["kernel"] = linear_kernel(p[lp + "ff.linear_1.weight"])
+        lay["ff1"]["bias"] = p[lp + "ff.linear_1.bias"]
+        lay["ff2"]["kernel"] = linear_kernel(p[lp + "ff.linear_2.weight"])
+        lay["ff2"]["bias"] = p[lp + "ff.linear_2.bias"]
+        i += 1
+    # dead members: consumed so _warn_unused stays quiet
+    for dead in ("encoder.norm.alpha", "encoder.norm.bias"):
+        if pre + dead in p:
+            pass
+    dst["dec1"]["kernel"] = linear_kernel(p[pre + "decoder.linear.0.weight"])
+    dst["dec1"]["bias"] = p[pre + "decoder.linear.0.bias"]
+    dst["dec2"]["kernel"] = linear_kernel(p[pre + "decoder.linear.2.weight"])
+    dst["dec2"]["bias"] = p[pre + "decoder.linear.2.bias"]
+
+
+def import_lore_processor(sd: Dict[str, np.ndarray], params: Dict,
+                          prefix: str = "") -> Dict:
+    """LORE logical `Processor` checkpoint (the second model file the
+    reference loads, base_detector.py:29-30 `load_model(Processor(opt),
+    opt.load_processor)`; module defined at classifier.py:51) → our
+    LoreProcessor param tree.
+
+    Covers: x/y position embeddings, the `tsfm_axis` regressor, and (when
+    wiz_stacking) the Stacker's logi_encoder (classifier.py:25-29) +
+    stacked transformer."""
+    out = jax.tree.map(np.asarray, params)
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
+
+    out["x_pe"]["embedding"] = p["x_position_embeddings.weight"]
+    out["y_pe"]["embedding"] = p["y_position_embeddings.weight"]
+    _lore_tsfm(p, out["tsfm_axis"], "tsfm_axis.")
+    if "stacker_tsfm" in out:
+        out["logi_enc1"]["kernel"] = linear_kernel(
+            p["stacker.logi_encoder.0.weight"])
+        out["logi_enc1"]["bias"] = p["stacker.logi_encoder.0.bias"]
+        out["logi_enc2"]["kernel"] = linear_kernel(
+            p["stacker.logi_encoder.2.weight"])
+        out["logi_enc2"]["bias"] = p["stacker.logi_encoder.2.bias"]
+        _lore_tsfm(p, out["stacker_tsfm"], "stacker.tsfm.")
+
+    _warn_unused(p, "import_lore_processor")
+    return jax.tree.map(jnp.asarray,
+                        _validate_shapes(params, out, "import_lore_processor"))
+
+
 def _omni_decoder_layer(p: "_TrackingDict", dst: Dict, pre: str) -> None:
     """One DETR pre-norm decoder layer (reference model/transformer.py:380
     TransformerDecoderLayer): torch MultiheadAttention packs q|k|v rows in
@@ -1004,4 +1068,5 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "geolayoutlm_backbone": import_geolayoutlm_backbone,
     "geolayoutlm_vie": import_geolayoutlm_vie,
     "omniparser": import_omniparser,
+    "lore_processor": import_lore_processor,
 }

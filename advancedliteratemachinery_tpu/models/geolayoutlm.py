@@ -95,33 +95,18 @@ class VisionFPN(nn.Module):
         return feat  # [B, H/4, W/4, 256]
 
 
-def roi_center_feature(feat: jnp.ndarray, boxes: jnp.ndarray,
-                       coord_scale: float = 1000.0) -> jnp.ndarray:
-    """1x1 ROI feature per box via bilinear sampling at the box center
-    (reference uses roi_align with 1x1 output, modeling_bros_convnext.py:128
-    — for a 1x1 grid the aligned output is the bilinear average around the
-    box center). feat [B,Hf,Wf,C]; boxes [B,N,4] in 0..coord_scale."""
+def roi_block_feature(feat: jnp.ndarray, boxes: jnp.ndarray,
+                      coord_scale: float = 1000.0) -> jnp.ndarray:
+    """1x1 RoIAlign per block box — exact torchvision semantics
+    (reference modeling_bros_convnext.py:126-133: roi_align(feat, rois, 1,
+    spatial_scale=W_f/1000), adaptive sampling_ratio=-1, aligned=False).
+    feat [B,Hf,Wf,C]; boxes [B,N,4] in 0..coord_scale → [B,N,C]."""
+    from advancedliteratemachinery_tpu.ops.roi_align import roi_align
+
     B, Hf, Wf, C = feat.shape
-    cx = (boxes[..., 0] + boxes[..., 2]) / 2.0 * (Wf / coord_scale)
-    cy = (boxes[..., 1] + boxes[..., 3]) / 2.0 * (Hf / coord_scale)
-    x0 = jnp.clip(jnp.floor(cx - 0.5), 0, Wf - 1)
-    y0 = jnp.clip(jnp.floor(cy - 0.5), 0, Hf - 1)
-    wx = jnp.clip(cx - 0.5 - x0, 0, 1)
-    wy = jnp.clip(cy - 0.5 - y0, 0, 1)
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    x1 = jnp.clip(x0 + 1, 0, Wf - 1)
-    y1 = jnp.clip(y0 + 1, 0, Hf - 1)
-    flat = feat.reshape(B, Hf * Wf, C)
-
-    def g(yy, xx):
-        return jnp.take_along_axis(flat, (yy * Wf + xx)[..., None], axis=1)
-
-    out = (g(y0, x0) * ((1 - wy) * (1 - wx))[..., None]
-           + g(y0, x1) * ((1 - wy) * wx)[..., None]
-           + g(y1, x0) * (wy * (1 - wx))[..., None]
-           + g(y1, x1) * (wy * wx)[..., None])
-    return out
+    out = roi_align(feat.astype(jnp.float32), boxes, out_hw=(1, 1),
+                    spatial_scale=Wf / coord_scale)
+    return out.reshape(B, boxes.shape[1], C).astype(feat.dtype)
 
 
 class CrossModalLayer(nn.Module):
@@ -237,7 +222,7 @@ class GeoLayoutLM(nn.Module):
         block_mask = batch["block_mask"].astype(jnp.float32)
         blk_bbox = jnp.take_along_axis(
             batch["bbox"], fti[..., None].astype(jnp.int32), axis=1)  # [B,N,4]
-        blk_vis = roi_center_feature(feat_ms, blk_bbox.astype(jnp.float32))
+        blk_vis = roi_block_feature(feat_ms, blk_bbox.astype(jnp.float32))
         blk_vis = nn.Dense(cfg.bros.hidden_size, dtype=p.compute_dtype,
                            param_dtype=p.param_dtype, name="vis_linear")(blk_vis)
         blk_vis = blk_vis * block_mask[..., None].astype(blk_vis.dtype)

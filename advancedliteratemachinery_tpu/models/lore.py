@@ -90,8 +90,11 @@ class LoreEncoderLayer(nn.Module):
 
 
 class LoreTransformer(nn.Module):
-    """linear → N encoder layers → final norm → 2-layer ReLU decoder
-    (transformer.py:48)."""
+    """linear → N encoder layers → 2-layer ReLU decoder (transformer.py:48).
+
+    NOTE: no norm after the encoder stack — the reference Encoder
+    constructs `self.norm` but its forward never applies it
+    (transformer.py:18-31), and PositionalEncoder is likewise dead code."""
 
     hidden: int
     out_dim: int
@@ -107,8 +110,6 @@ class LoreTransformer(nn.Module):
         for i in range(self.layers):
             x = LoreEncoderLayer(self.hidden, self.heads, policy=p,
                                  name=f"layer_{i}")(x, mask, deterministic)
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
-                         name="final_norm")(x).astype(p.compute_dtype)
         x = nn.Dense(self.hidden, dtype=p.compute_dtype, param_dtype=p.param_dtype,
                      name="dec1")(x)
         x = nn.relu(x)

@@ -15,7 +15,7 @@ from advancedliteratemachinery_tpu.models.geolayoutlm import (
     GeoLayoutLM,
     GeoLayoutLMConfig,
     geolayoutlm_losses,
-    roi_center_feature,
+    roi_block_feature,
 )
 
 TINY_BROS = BrosConfig(vocab_size=100, hidden_size=32, num_hidden_layers=2,
@@ -73,12 +73,15 @@ class TestConvNeXt:
 
 
 class TestRoiFeature:
-    def test_center_sampling(self):
+    def test_exact_roi_align_block_feature(self):
         feat = jnp.zeros((1, 4, 4, 1)).at[0, 1, 2, 0].set(8.0)
-        # box centered on cell (2,1) in a 1000-coord space: x 500-750, y 250-500
+        # box covering exactly cell (2,1) in a 1000-coord space:
+        # x 500-750, y 250-500 → feature box x 2-3, y 1-2 (scale 4/1000);
+        # 1x1 adaptive roi_align samples the box center (2.5, 1.5) →
+        # bilinear of cells (1,2),(1,3),(2,2),(2,3) = (8+0+0+0)/4
         boxes = jnp.asarray([[[500.0, 250.0, 750.0, 500.0]]])
-        out = roi_center_feature(feat, boxes)
-        assert float(out[0, 0, 0]) > 1.0  # samples near the hot cell
+        out = roi_block_feature(feat, boxes)
+        assert float(out[0, 0, 0]) == pytest.approx(2.0, abs=1e-5)
 
 
 @pytest.fixture(scope="module")

@@ -2,7 +2,7 @@
 bros/modeling_bros.py (BrosModel: concatenated spatial embeddings, crel
 relative-bbox attention), bros/vision_model.py (ConvNeXt + FPN), and
 bros/transformer_local.py (cross-modal decoder layers), scaled down.
-roi_align is weight-free and approximated separately (roi_center_feature),
+roi_align is weight-free (exact op tested in test_roi_align.py),
 so the three weight-bearing stages cover every imported tensor."""
 
 import jax
