@@ -963,6 +963,233 @@ def import_lore_processor(sd: Dict[str, np.ndarray], params: Dict,
                         _validate_shapes(params, out, "import_lore_processor"))
 
 
+def _bicubic_resize_torch(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bicubic resize matching torch F.interpolate(mode='bicubic',
+    align_corners=False): Keys kernel with a = -0.75 (PIL/jax use -0.5),
+    half-pixel centers, edge-clamped taps. x [H, W] → [out_h, out_w]."""
+    a = -0.75
+
+    def kernel(t):
+        t = np.abs(t)
+        return np.where(
+            t <= 1, ((a + 2) * t - (a + 3)) * t * t + 1,
+            np.where(t < 2, a * (((t - 5) * t + 8) * t - 4), 0.0))
+
+    def axis_weights(n_in, n_out):
+        src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        base = np.floor(src).astype(int)
+        w = np.zeros((n_out, n_in))
+        for k in range(-1, 3):
+            idx = np.clip(base + k, 0, n_in - 1)
+            w[np.arange(n_out), idx] += kernel(src - (base + k))
+        return w
+
+    wy = axis_weights(x.shape[0], out_h)
+    wx = axis_weights(x.shape[1], out_w)
+    return wy @ x @ wx.T
+
+
+def interpolate_rel_pos_table(table: np.ndarray, src_window: Tuple[int, int],
+                              dst_window: Tuple[int, int]) -> np.ndarray:
+    """BEiT shared relative-position table [(2h−1)(2w−1)+3, H] resized to a
+    new window with torch-bicubic, keeping the 3 cls slots
+    (VGTbeit.py:509-522 RelativePositionBias.forward)."""
+    sh, sw = src_window
+    dh, dw = dst_window
+    if (sh, sw) == (dh, dw):
+        return table
+    H = table.shape[1]
+    body = table[:-3].reshape(2 * sh - 1, 2 * sw - 1, H)
+    out = np.stack([
+        _bicubic_resize_torch(body[:, :, h], 2 * dh - 1, 2 * dw - 1)
+        for h in range(H)], axis=-1).reshape(-1, H)
+    return np.concatenate([out, table[-3:]], axis=0).astype(table.dtype)
+
+
+def _vgt_beit_block(p: "_TrackingDict", dst: Dict, pre: str) -> None:
+    for n in ("norm1", "norm2"):
+        dst[n]["scale"] = p[pre + f"{n}.weight"]
+        dst[n]["bias"] = p[pre + f"{n}.bias"]
+    at = dst["attn"]
+    at["qkv"]["kernel"] = linear_kernel(p[pre + "attn.qkv.weight"])
+    at["q_bias"] = p[pre + "attn.q_bias"]
+    at["v_bias"] = p[pre + "attn.v_bias"]
+    at["proj"]["kernel"] = linear_kernel(p[pre + "attn.proj.weight"])
+    at["proj"]["bias"] = p[pre + "attn.proj.bias"]
+    if pre + "attn.relative_position_bias_table" in p and \
+            "relative_position_bias_table" in at:
+        at["relative_position_bias_table"] = \
+            p[pre + "attn.relative_position_bias_table"]
+    dst["mlp"]["fc1"]["kernel"] = linear_kernel(p[pre + "mlp.fc1.weight"])
+    dst["mlp"]["fc1"]["bias"] = p[pre + "mlp.fc1.bias"]
+    dst["mlp"]["fc2"]["kernel"] = linear_kernel(p[pre + "mlp.fc2.weight"])
+    dst["mlp"]["fc2"]["bias"] = p[pre + "mlp.fc2.bias"]
+    if pre + "gamma_1" in p:
+        dst["gamma_1"] = p[pre + "gamma_1"]
+        dst["gamma_2"] = p[pre + "gamma_2"]
+
+
+def _vgt_cross_attn(p: "_TrackingDict", dst: Dict, pre: str) -> None:
+    dst["q"]["kernel"] = linear_kernel(p[pre + "q.weight"])
+    dst["kv"]["kernel"] = linear_kernel(p[pre + "kv.weight"])
+    dst["q_bias"] = p[pre + "q_bias"]
+    dst["v_bias"] = p[pre + "v_bias"]
+    dst["proj"]["kernel"] = linear_kernel(p[pre + "proj.weight"])
+    dst["proj"]["bias"] = p[pre + "proj.bias"]
+
+
+def _vgt_self_attn(p: "_TrackingDict", dst: Dict, pre: str) -> None:
+    dst["qkv"]["kernel"] = linear_kernel(p[pre + "qkv.weight"])
+    dst["q_bias"] = p[pre + "q_bias"]
+    dst["v_bias"] = p[pre + "v_bias"]
+    dst["proj"]["kernel"] = linear_kernel(p[pre + "proj.weight"])
+    dst["proj"]["bias"] = p[pre + "proj.bias"]
+
+
+def _deconv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d [in, out, kh, kw] → flax ConvTranspose
+    [kh, kw, in, out], spatially flipped: lax.conv_transpose applies the
+    kernel unflipped while torch's deconv is the gradient of a conv
+    (verified exact on a stride-2 2x2 fixture)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
+
+
+def import_vgt(sd: Dict[str, np.ndarray], variables: Dict,
+               checkpoint_window: Tuple[int, int] = (14, 14),
+               window: Optional[Tuple[int, int]] = None,
+               prefix: str = "") -> Dict:
+    """Released VGT detectron2 checkpoint → our VGTBackbone variables
+    (params + batch_stats — fpn1 contains a BatchNorm).
+
+    Key layout (ditod/VGT.py:34 meta arch + VGTbackbone.py:191
+    build_VGT_fpn_backbone): `Wordgrid_embedding.*`,
+    `backbone.bottom_up.backbone.*` (the two-stream BEiT), and the
+    detectron2 GridFPN convs `backbone.fpn_lateral{2..5}` /
+    `backbone.fpn_output{2..5}`. The shared relative-position table is
+    bicubic-interpolated (torch a=-0.75 kernel, VGTbeit.py:509) from
+    `checkpoint_window` (14x14 for the 224/16 pretraining grid) to the
+    model's configured window. Cascade R-CNN / RPN keys are skipped — the
+    head here is the documented CenterNet divergence."""
+    pr = jax.tree.map(np.asarray, variables["params"])
+    st = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
+    bb = "backbone.bottom_up.backbone."
+
+    pr["wordnn"]["embedding"]["embedding"] = p["Wordgrid_embedding.embedding.weight"]
+    pr["wordnn"]["embedding_proj"]["kernel"] = linear_kernel(
+        p["Wordgrid_embedding.embedding_proj.weight"])
+
+    pr["cls_token"] = p[bb + "cls_token"]
+    pr["grid_token"] = p[bb + "grid_token"]
+    pr["patch_embed"]["kernel"] = conv_kernel(p[bb + "patch_embed.proj.weight"])
+    pr["patch_embed"]["bias"] = p[bb + "patch_embed.proj.bias"]
+    pr["grid_patch_embed"]["kernel"] = conv_kernel(
+        p[bb + "grid_patch_embed.proj.weight"])
+    pr["grid_patch_embed"]["bias"] = p[bb + "grid_patch_embed.proj.bias"]
+    if bb + "pos_embed" in p and "pos_embed" in pr:
+        pr["pos_embed"] = p[bb + "pos_embed"]
+        pr["grid_pos_embed"] = p[bb + "grid_pos_embed"]
+
+    if "rel_pos_bias" in pr:
+        want = pr["rel_pos_bias"]["relative_position_bias_table"].shape[0]
+        table = p[bb + "rel_pos_bias.relative_position_bias_table"]
+        if table.shape[0] != want:
+            if window is not None:
+                dst_window = window
+            else:
+                # want = (2h-1)(2w-1)+3; solve assuming a square window
+                # (pass `window=` explicitly for rectangular configs)
+                n = int(round(((want - 3) ** 0.5)))
+                dst_window = (n + 1) // 2, (n + 1) // 2
+            table = interpolate_rel_pos_table(table, checkpoint_window,
+                                              dst_window)
+        pr["rel_pos_bias"]["relative_position_bias_table"] = table
+
+    for stream, tpre in (("blocks", "blocks"), ("grid_blocks", "grid_blocks")):
+        i = 0
+        while f"{stream}_{i}" in pr:
+            _vgt_beit_block(p, pr[f"{stream}_{i}"], bb + f"{tpre}.{i}.")
+            i += 1
+
+    i = 0
+    while f"cross_blocks_{i}" in pr:
+        dst = pr[f"cross_blocks_{i}"]
+        cpre = bb + f"cross_blocks.{i}."
+        for n in ("norm_vis", "norm_grid", "norm2_vis", "norm2_grid"):
+            dst[n]["scale"] = p[cpre + f"{n}.weight"]
+            dst[n]["bias"] = p[cpre + f"{n}.bias"]
+        _vgt_cross_attn(p, dst["vis_attn"], cpre + "vis_attn.")
+        _vgt_cross_attn(p, dst["grid_attn"], cpre + "grid_attn.")
+        sb = dst["self_block"]
+        for n in ("norm_vis", "norm_grid"):
+            sb[n]["scale"] = p[cpre + f"self_block.{n}.weight"]
+            sb[n]["bias"] = p[cpre + f"self_block.{n}.bias"]
+        _vgt_self_attn(p, sb["vis_attn"], cpre + "self_block.vis_attn.")
+        _vgt_self_attn(p, sb["grid_attn"], cpre + "self_block.grid_attn.")
+        for mlp, tm in (("vis_mlp", "vis_mlp"), ("grid_mlp", "grid_mlp")):
+            dst[mlp]["fc1"]["kernel"] = linear_kernel(p[cpre + f"{tm}.fc1.weight"])
+            dst[mlp]["fc1"]["bias"] = p[cpre + f"{tm}.fc1.bias"]
+            dst[mlp]["fc2"]["kernel"] = linear_kernel(p[cpre + f"{tm}.fc2.weight"])
+            dst[mlp]["fc2"]["bias"] = p[cpre + f"{tm}.fc2.bias"]
+        if cpre + "gamma_vis" in p:
+            dst["gamma_vis"] = p[cpre + "gamma_vis"]
+            dst["gamma_grid"] = p[cpre + "gamma_grid"]
+            dst["gamma_1"] = p[cpre + "gamma_1"]
+            dst["gamma_2"] = p[cpre + "gamma_2"]
+            sb["gamma_vis"] = p[cpre + "self_block.gamma_vis"]
+            sb["gamma_grid"] = p[cpre + "self_block.gamma_grid"]
+        i += 1
+
+    # per-stream fpn ops (Sequential indices: fpn1 = [deconv, BN, GELU,
+    # deconv]; fpn2 = [deconv])
+    for gpre in ("", "grid_"):
+        pr[f"{gpre}fpn1_deconv1"]["kernel"] = _deconv_kernel(
+            p[bb + f"{gpre}fpn1.0.weight"])
+        pr[f"{gpre}fpn1_deconv1"]["bias"] = p[bb + f"{gpre}fpn1.0.bias"]
+        pr[f"{gpre}fpn1_bn"]["scale"] = p[bb + f"{gpre}fpn1.1.weight"]
+        pr[f"{gpre}fpn1_bn"]["bias"] = p[bb + f"{gpre}fpn1.1.bias"]
+        st[f"{gpre}fpn1_bn"]["mean"] = p[bb + f"{gpre}fpn1.1.running_mean"]
+        st[f"{gpre}fpn1_bn"]["var"] = p[bb + f"{gpre}fpn1.1.running_var"]
+        pr[f"{gpre}fpn1_deconv2"]["kernel"] = _deconv_kernel(
+            p[bb + f"{gpre}fpn1.3.weight"])
+        pr[f"{gpre}fpn1_deconv2"]["bias"] = p[bb + f"{gpre}fpn1.3.bias"]
+        pr[f"{gpre}fpn2_deconv"]["kernel"] = _deconv_kernel(
+            p[bb + f"{gpre}fpn2.0.weight"])
+        pr[f"{gpre}fpn2_deconv"]["bias"] = p[bb + f"{gpre}fpn2.0.bias"]
+
+    # FeatureMerge (Concat only; Sum has no params)
+    for i in range(4):
+        if f"vis_proj_{i}" in pr:
+            fm = "backbone.bottom_up.FeatureMerge."
+            for ours, theirs in ((f"vis_proj_{i}", f"vis_proj.{i}"),
+                                 (f"text_proj_{i}", f"text_proj.{i}"),
+                                 (f"alpha_proj_{i}", f"alpha_proj.{i}")):
+                pr[ours]["kernel"] = linear_kernel(p[fm + theirs + ".weight"])
+                pr[ours]["bias"] = p[fm + theirs + ".bias"]
+
+    # detectron2 GridFPN convs
+    for i in range(2, 6):
+        pr[f"fpn_lateral{i}"]["kernel"] = conv_kernel(
+            p[f"backbone.fpn_lateral{i}.weight"])
+        pr[f"fpn_lateral{i}"]["bias"] = p[f"backbone.fpn_lateral{i}.bias"]
+        pr[f"fpn_output{i}"]["kernel"] = conv_kernel(
+            p[f"backbone.fpn_output{i}.weight"])
+        pr[f"fpn_output{i}"]["bias"] = p[f"backbone.fpn_output{i}.bias"]
+
+    # Cascade/RPN heads are intentionally unmapped (documented divergence)
+    for k in list(dict.keys(p)):
+        if k.startswith(("roi_heads.", "proposal_generator.")):
+            p.read.add(k)
+
+    _warn_unused(p, "import_vgt")
+    out = {"params": _validate_shapes(variables["params"], pr, "import_vgt")}
+    if st:
+        out["batch_stats"] = _validate_shapes(
+            variables.get("batch_stats", {}), st, "import_vgt")
+    return jax.tree.map(jnp.asarray, out)
+
+
 def _omni_decoder_layer(p: "_TrackingDict", dst: Dict, pre: str) -> None:
     """One DETR pre-norm decoder layer (reference model/transformer.py:380
     TransformerDecoderLayer): torch MultiheadAttention packs q|k|v rows in
@@ -1069,4 +1296,5 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "geolayoutlm_vie": import_geolayoutlm_vie,
     "omniparser": import_omniparser,
     "lore_processor": import_lore_processor,
+    "vgt": import_vgt,            # full variables (params + batch_stats)
 }

@@ -1,21 +1,39 @@
 """VGT: two-stream (vision + word-grid) document layout backbone.
 
-Behavioral parity target (reference DocumentUnderstanding/VGT):
+Behavioral parity target (reference DocumentUnderstanding/VGT/object_detection):
 - Word-grid ("chargrid") embedding: rasterize wordpiece ids into the image
-  plane, embed + project (ditod/Wordnn_embedding.py:16).
-- Two-stream BEiT backbone (ditod/VGTbeit.py:550): per-stream patch embeds
-  + cls tokens, `self_depth`=7 self blocks per stream, `cross_depth`=5
-  bidirectional cross blocks (:135 CrossBlock — vis attends grid / grid
-  attends vis, both with MLPs); multi-scale outputs through BEiT-FPN ops
-  (4x/2x/1x/0.5x) after the cross stages.
-- FeatureMerge (ditod/FeatureMerge.py:4): per-scale fusion of visual and
-  grid maps ('Sum' or 'Concat' with adapter fcs).
+  plane, embed + project (ditod/Wordnn_embedding.py:16; vocab 30552,
+  embedding_dim 64).
+- Two-stream BEiT/DiT backbone (ditod/VGTbeit.py:550 BEiT): per-stream
+  patch embeds + cls tokens; the RELEASED configs
+  (Configs/cascade/*_VGT_cascade_PTM.yaml) use `VGT_dit_base_patch16`
+  (VGTbeit.py:869): self_depth=12, **cross_depth=0**, layerscale
+  init_values=0.1, qkv_bias=True, POS_TYPE default "shared_rel" → ONE
+  shared RelativePositionBias (VGTbeit.py:466) added to every block's
+  attention, no absolute positions. Features tapped at blocks 3/5/7/11
+  (config.py:16 OUT_FEATURES) → per-stream fpn1..4 ops (4x deconv+BN+GELU+
+  deconv / 2x deconv / identity / maxpool, VGTbeit.py:643-669).
+- CrossBlock (VGTbeit.py:135) exists for cross_depth>0 variants:
+  per-stream cross-attention (CrossAttention :84 — q + packed kv, q/v
+  biases, k bias zero) with gamma_vis/gamma_grid layerscales, an inner
+  CrossSelfBlock (:191 — per-stream self attention, own gammas), then
+  per-stream MLPs with gamma_1/gamma_2.
+- FeatureMerge (ditod/FeatureMerge.py:4): released merge_type is 'Sum';
+  'Concat' adds vis/text/alpha projections.
+- detectron2 GridFPN on top (ditod/VGTbackbone.py:123): 1x1 laterals +
+  3x3 output convs + LastLevelMaxPool p6.
+
+The shared relative-position table ships at the pretraining window (14x14
+for 224/16); the reference bicubic-interpolates it to the runtime patch
+grid on every forward (VGTbeit.py:509, F.interpolate bicubic a=-0.75).
+Here the window is static per config, so the importer interpolates ONCE at
+load (engine/checkpoint.py import_vgt).
 
 TPU-native divergence (documented): the reference's detection head is
-detectron2 Cascade R-CNN (ditod/VGT.py:31); here the fused pyramid feeds
+detectron2 Cascade R-CNN (ditod/VGT.py:34); here the fused pyramid feeds
 the framework's CenterNet-style head (models/dla.py pattern) — anchor-free
 dense heads map better onto fixed-shape XLA graphs than cascaded RoI
-stages. Checkpoint import covers the backbone streams.
+stages. Checkpoint import covers everything through the GridFPN.
 """
 
 from __future__ import annotations
@@ -31,7 +49,9 @@ from flax import linen as nn
 from advancedliteratemachinery_tpu.core.config import ConfigBase
 from advancedliteratemachinery_tpu.core.precision import gelu as _gelu, Policy, DEFAULT_POLICY
 from advancedliteratemachinery_tpu.core.registry import MODELS
-from advancedliteratemachinery_tpu.models.layers import EncoderBlock, Mlp
+from advancedliteratemachinery_tpu.models.layers import Mlp
+
+BN_MOMENTUM = 0.9
 
 
 def rasterize_word_grid(input_ids: np.ndarray, bboxes: np.ndarray,
@@ -52,9 +72,9 @@ def rasterize_word_grid(input_ids: np.ndarray, bboxes: np.ndarray,
 
 class WordGridEmbedding(nn.Module):
     """Embedding + projection of the rasterized id map
-    (Wordnn_embedding.py:16, vocab 30522 BERT/BROS, proj to 64)."""
+    (Wordnn_embedding.py:16; vocab 30552 per released configs)."""
 
-    vocab_size: int = 30522
+    vocab_size: int = 30552
     hidden_size: int = 768
     embedding_dim: int = 64
     policy: Policy = DEFAULT_POLICY
@@ -69,82 +89,10 @@ class WordGridEmbedding(nn.Module):
             emb.astype(p.compute_dtype))
 
 
-class CrossAttention(nn.Module):
-    dim: int
-    num_heads: int
-    policy: Policy = DEFAULT_POLICY
-
-    @nn.compact
-    def __call__(self, q_in, kv_in):
-        p = self.policy
-        B, Nq, D = q_in.shape
-        H = self.num_heads
-        hd = D // H
-        q = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                     name="q")(q_in).reshape(B, Nq, H, hd)
-        k = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                     name="k")(kv_in).reshape(B, -1, H, hd)
-        v = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                     name="v")(kv_in).reshape(B, -1, H, hd)
-        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
-        a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, Nq, D)
-        return nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                        name="proj")(o)
-
-
-class VGTCrossBlock(nn.Module):
-    """Bidirectional cross block (VGTbeit.py:135)."""
-
-    dim: int
-    num_heads: int
-    mlp_ratio: float = 4.0
-    policy: Policy = DEFAULT_POLICY
-
-    @nn.compact
-    def __call__(self, vis, grid):
-        p = self.policy
-
-        def ln(name):
-            return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
-                                param_dtype=p.param_dtype, name=name)
-
-        nv = ln("norm_vis")(vis).astype(p.compute_dtype)
-        ng = ln("norm_grid")(grid).astype(p.compute_dtype)
-        vis = vis + CrossAttention(self.dim, self.num_heads, policy=p,
-                                   name="vis_attn")(nv, ng)
-        grid = grid + CrossAttention(self.dim, self.num_heads, policy=p,
-                                     name="grid_attn")(ng, nv)
-        h = ln("norm2_vis")(vis).astype(p.compute_dtype)
-        vis = vis + Mlp(int(self.dim * self.mlp_ratio), self.dim, policy=p,
-                        name="vis_mlp")(h)
-        h = ln("norm2_grid")(grid).astype(p.compute_dtype)
-        grid = grid + Mlp(int(self.dim * self.mlp_ratio), self.dim, policy=p,
-                          name="grid_mlp")(h)
-        return vis, grid
-
-
-@dataclasses.dataclass(frozen=True)
-class VGTConfig(ConfigBase):
-    img_size: Tuple[int, int] = (512, 512)
-    patch_size: int = 16
-    embed_dim: int = 768
-    self_depth: int = 7
-    cross_depth: int = 5
-    num_heads: int = 12
-    grid_embedding_dim: int = 64
-    vocab_size: int = 30522
-    fpn_dim: int = 256
-    merge_type: str = "Concat"          # FeatureMerge.py default style
-    num_classes: int = 5                # PubLayNet categories
-    use_beit: bool = False              # BEiT/DiT blocks (VGTbeit.py:361) —
-    layerscale_value: float = 0.1       # required for DiT checkpoint import
-
-
 def _beit_rel_pos_index(wh: int, ww: int) -> np.ndarray:
     """Static relative-position index table [(wh·ww+1)², ] into a
-    [(2wh−1)(2ww−1)+3, H] bias table (VGTbeit.py:230 Attention — cls row/
-    col/corner use the last 3 slots). Pure numpy: compile-time constant."""
+    [(2wh−1)(2ww−1)+3, H] bias table (VGTbeit.py:256-276 — cls row/col/
+    corner use the last 3 slots). Pure numpy: compile-time constant."""
     num_rel = (2 * wh - 1) * (2 * ww - 1)
     coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww),
                                   indexing="ij")).reshape(2, -1)
@@ -162,63 +110,239 @@ def _beit_rel_pos_index(wh: int, ww: int) -> np.ndarray:
     return idx.reshape(-1)
 
 
-class BEiTBlock(nn.Module):
-    """BEiT/DiT pre-norm block: qkv without bias + learned q/v biases (k bias
-    fixed at zero), static-window relative-position bias, layerscale
-    (VGTbeit.py:230 Attention + :361 Block). Window is (Hp, Wp) + cls."""
+class SharedRelPosBias(nn.Module):
+    """Shared RelativePositionBias (VGTbeit.py:466) for POS_TYPE
+    'shared_rel' — one table for all blocks of both streams."""
 
-    dim: int
-    heads: int
     window: Tuple[int, int]
-    mlp_ratio: float = 4.0
-    layerscale_value: float = 0.1
+    heads: int
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self) -> jnp.ndarray:
+        wh, ww = self.window
+        num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+        table = self.param("relative_position_bias_table",
+                           nn.initializers.zeros, (num_rel, self.heads),
+                           self.policy.param_dtype)
+        idx = jnp.asarray(_beit_rel_pos_index(wh, ww))
+        n = wh * ww + 1
+        return table[idx].reshape(n, n, self.heads).transpose(2, 0, 1)
+
+
+class BEiTAttention(nn.Module):
+    """BEiT/DiT attention (VGTbeit.py:230): qkv projection without bias +
+    learned q/v biases (k bias fixed at zero), optional per-block
+    relative-position table, optional shared bias passed by the caller."""
+
+    dim: int
+    heads: int
+    window: Optional[Tuple[int, int]] = None   # per-block table if set
+
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, rel_bias: Optional[jnp.ndarray] = None):
         p = self.policy
         B, N, D = x.shape
         H, hd = self.heads, self.dim // self.heads
-        wh, ww = self.window
-
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
-                         name="norm1")(x).astype(p.compute_dtype)
         qkv_w = nn.Dense(3 * D, use_bias=False, dtype=p.compute_dtype,
                          param_dtype=p.param_dtype, name="qkv")
-        q_bias = self.param("q_bias", nn.initializers.zeros, (D,),
-                            p.param_dtype)
-        v_bias = self.param("v_bias", nn.initializers.zeros, (D,),
-                            p.param_dtype)
-        qkv = qkv_w(h) + jnp.concatenate(
-            [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(h.dtype)
+        q_bias = self.param("q_bias", nn.initializers.zeros, (D,), p.param_dtype)
+        v_bias = self.param("v_bias", nn.initializers.zeros, (D,), p.param_dtype)
+        qkv = qkv_w(x) + jnp.concatenate(
+            [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(x.dtype)
         q, k, v = jnp.split(qkv.reshape(B, N, 3, H, hd), 3, axis=2)
         q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
 
         s = jnp.einsum("bihd,bjhd->bhij", q, k) / (hd ** 0.5)
-        num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
-        table = self.param("rel_pos_table", nn.initializers.zeros,
-                           (num_rel, H), p.param_dtype)
-        idx = jnp.asarray(_beit_rel_pos_index(wh, ww))
-        bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)
-        s = s + bias[None].astype(s.dtype)
+        if self.window is not None:
+            wh, ww = self.window
+            num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+            table = self.param("relative_position_bias_table",
+                               nn.initializers.zeros, (num_rel, H),
+                               p.param_dtype)
+            idx = jnp.asarray(_beit_rel_pos_index(wh, ww))
+            own = table[idx].reshape(N, N, H).transpose(2, 0, 1)
+            s = s + own[None].astype(s.dtype)
+        if rel_bias is not None:
+            s = s + rel_bias[None].astype(s.dtype)
         a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype)
         o = jnp.einsum("bhij,bjhd->bihd", a, v).reshape(B, N, D)
-        o = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                     name="proj")(o)
-        g1 = self.param("gamma_1", nn.initializers.constant(
-            self.layerscale_value), (D,), p.param_dtype)
-        g2 = self.param("gamma_2", nn.initializers.constant(
-            self.layerscale_value), (D,), p.param_dtype)
-        x = x + g1.astype(o.dtype) * o
+        return nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                        name="proj")(o)
 
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
-                         name="norm2")(x).astype(p.compute_dtype)
-        h = nn.Dense(int(D * self.mlp_ratio), dtype=p.compute_dtype,
-                     param_dtype=p.param_dtype, name="mlp_fc1")(h)
-        h = _gelu(h)
-        h = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                     name="mlp_fc2")(h)
-        return x + g2.astype(h.dtype) * h
+
+class BEiTBlock(nn.Module):
+    """BEiT/DiT pre-norm block with optional layerscale (VGTbeit.py:361)."""
+
+    dim: int
+    heads: int
+    window: Optional[Tuple[int, int]] = None    # per-block rel table if set
+    mlp_ratio: float = 4.0
+    layerscale_value: Optional[float] = 0.1     # None → no gammas
+
+    policy: Policy = DEFAULT_POLICY
+
+    def _gamma(self, name):
+        if self.layerscale_value is None:
+            return None
+        return self.param(name, nn.initializers.constant(self.layerscale_value),
+                          (self.dim,), self.policy.param_dtype)
+
+    @nn.compact
+    def __call__(self, x, rel_bias: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
+        p = self.policy
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                         param_dtype=p.param_dtype, name="norm1")(x)
+        o = BEiTAttention(self.dim, self.heads, self.window, policy=p,
+                          name="attn")(h.astype(p.compute_dtype), rel_bias)
+        g1 = self._gamma("gamma_1")
+        x = x + (o if g1 is None else g1.astype(o.dtype) * o)
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                         param_dtype=p.param_dtype, name="norm2")(x)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, policy=p,
+                name="mlp")(h.astype(p.compute_dtype))
+        g2 = self._gamma("gamma_2")
+        return x + (h if g2 is None else g2.astype(h.dtype) * h)
+
+
+class CrossAttention(nn.Module):
+    """VGTbeit.py:84: q projection (no weight bias + learned q_bias) over x,
+    packed kv projection over y (k bias zero, learned v_bias)."""
+
+    dim: int
+    heads: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, y):
+        p = self.policy
+        B, Nq, D = x.shape
+        H, hd = self.heads, self.dim // self.heads
+        q_bias = self.param("q_bias", nn.initializers.zeros, (D,), p.param_dtype)
+        v_bias = self.param("v_bias", nn.initializers.zeros, (D,), p.param_dtype)
+        q = nn.Dense(D, use_bias=False, dtype=p.compute_dtype,
+                     param_dtype=p.param_dtype, name="q")(x) + q_bias.astype(x.dtype)
+        kv = nn.Dense(2 * D, use_bias=False, dtype=p.compute_dtype,
+                      param_dtype=p.param_dtype, name="kv")(y)
+        kv = kv + jnp.concatenate([jnp.zeros_like(v_bias), v_bias]).astype(y.dtype)
+        k, v = jnp.split(kv.reshape(B, -1, 2, H, hd), 2, axis=2)
+        q = q.reshape(B, Nq, H, hd)
+        k, v = k[:, :, 0], v[:, :, 0]
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (hd ** 0.5)
+        a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, Nq, D)
+        return nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                        name="proj")(o)
+
+
+class CrossSelfBlock(nn.Module):
+    """Inner per-stream self-attention stage of CrossBlock
+    (VGTbeit.py:191): norms + BEiT attentions + gammas, no MLP."""
+
+    dim: int
+    heads: int
+    layerscale_value: Optional[float] = 0.1
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, vis, grid):
+        p = self.policy
+
+        def ln(name):
+            return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                param_dtype=p.param_dtype, name=name)
+
+        ov = BEiTAttention(self.dim, self.heads, policy=p, name="vis_attn")(
+            ln("norm_vis")(vis).astype(p.compute_dtype))
+        og = BEiTAttention(self.dim, self.heads, policy=p, name="grid_attn")(
+            ln("norm_grid")(grid).astype(p.compute_dtype))
+        if self.layerscale_value is not None:
+            gv = self.param("gamma_vis", nn.initializers.constant(
+                self.layerscale_value), (self.dim,), p.param_dtype)
+            gg = self.param("gamma_grid", nn.initializers.constant(
+                self.layerscale_value), (self.dim,), p.param_dtype)
+            ov = gv.astype(ov.dtype) * ov
+            og = gg.astype(og.dtype) * og
+        return vis + ov, grid + og
+
+
+class VGTCrossBlock(nn.Module):
+    """Faithful CrossBlock (VGTbeit.py:135): bidirectional cross-attention
+    (gamma_vis/gamma_grid) → inner CrossSelfBlock → per-stream MLPs
+    (gamma_1/gamma_2)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    layerscale_value: Optional[float] = 0.1
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, vis, grid):
+        p = self.policy
+
+        def ln(name):
+            return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                param_dtype=p.param_dtype, name=name)
+
+        def gamma(name):
+            if self.layerscale_value is None:
+                return None
+            return self.param(name, nn.initializers.constant(
+                self.layerscale_value), (self.dim,), p.param_dtype)
+
+        nv = ln("norm_vis")(vis).astype(p.compute_dtype)
+        ng = ln("norm_grid")(grid).astype(p.compute_dtype)
+        ov = CrossAttention(self.dim, self.num_heads, policy=p,
+                            name="vis_attn")(nv, ng)
+        og = CrossAttention(self.dim, self.num_heads, policy=p,
+                            name="grid_attn")(ng, nv)
+        gv, gg = gamma("gamma_vis"), gamma("gamma_grid")
+        vis = vis + (ov if gv is None else gv.astype(ov.dtype) * ov)
+        grid = grid + (og if gg is None else gg.astype(og.dtype) * og)
+
+        vis, grid = CrossSelfBlock(self.dim, self.num_heads,
+                                   self.layerscale_value, policy=p,
+                                   name="self_block")(vis, grid)
+
+        h = ln("norm2_vis")(vis).astype(p.compute_dtype)
+        mv = Mlp(int(self.dim * self.mlp_ratio), self.dim, policy=p,
+                 name="vis_mlp")(h)
+        h = ln("norm2_grid")(grid).astype(p.compute_dtype)
+        mg = Mlp(int(self.dim * self.mlp_ratio), self.dim, policy=p,
+                 name="grid_mlp")(h)
+        g1, g2 = gamma("gamma_1"), gamma("gamma_2")
+        vis = vis + (mv if g1 is None else g1.astype(mv.dtype) * mv)
+        grid = grid + (mg if g2 is None else g2.astype(mg.dtype) * mg)
+        return vis, grid
+
+
+@dataclasses.dataclass(frozen=True)
+class VGTConfig(ConfigBase):
+    # released VGT_dit_base_patch16 recipe (VGTbeit.py:869 + config.py)
+    img_size: Tuple[int, int] = (512, 512)
+    patch_size: int = 16
+    embed_dim: int = 768
+    self_depth: int = 12
+    cross_depth: int = 0
+    num_heads: int = 12
+    grid_embedding_dim: int = 64
+    vocab_size: int = 30552
+    pos_type: str = "shared_rel"        # "shared_rel" | "abs" | "rel"
+    out_indices: Tuple[int, ...] = (3, 5, 7, 11)
+    layerscale_value: Optional[float] = 0.1
+    merge_type: str = "Sum"             # released configs use Sum
+    fpn_dim: int = 256                  # detectron2 FPN.OUT_CHANNELS
+    num_classes: int = 5                # PubLayNet categories
+
+    @property
+    def window(self) -> Tuple[int, int]:
+        return (self.img_size[0] // self.patch_size,
+                self.img_size[1] // self.patch_size)
 
 
 @MODELS.register("vgt")
@@ -227,10 +351,10 @@ class VGTBackbone(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, images, grid_ids, deterministic: bool = True
-                 ) -> Dict[str, jnp.ndarray]:
+    def __call__(self, images, grid_ids, train: bool = False,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         """images [B,H,W,3]; grid_ids [B,H,W] int token map →
-        fused pyramid {p2 (1/4), p3 (1/8), p4 (1/16), p5 (1/32)}."""
+        merged + FPN pyramid {p2 (1/4) … p6 (1/64)}."""
         cfg = self.config
         p = self.policy
         B, H, W, _ = images.shape
@@ -254,79 +378,107 @@ class VGTBackbone(nn.Module):
                          (1, 1, D), p.param_dtype)
         gtok = self.param("grid_token", nn.initializers.truncated_normal(0.02),
                           (1, 1, D), p.param_dtype)
-        pos = self.param("pos_embed", nn.initializers.truncated_normal(0.02),
-                         (1, Hp * Wp + 1, D), p.param_dtype)
-        gpos = self.param("grid_pos_embed", nn.initializers.truncated_normal(0.02),
-                          (1, Hp * Wp + 1, D), p.param_dtype)
-        vis = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, D)).astype(vis.dtype),
-                               vis], 1) + pos.astype(vis.dtype)
-        grid = jnp.concatenate([jnp.broadcast_to(gtok, (B, 1, D)).astype(grid.dtype),
-                                grid], 1) + gpos.astype(grid.dtype)
+        vis = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, D)).astype(vis.dtype), vis], 1)
+        grid = jnp.concatenate(
+            [jnp.broadcast_to(gtok, (B, 1, D)).astype(grid.dtype), grid], 1)
+        if cfg.pos_type == "abs":
+            pos = self.param("pos_embed", nn.initializers.truncated_normal(0.02),
+                             (1, Hp * Wp + 1, D), p.param_dtype)
+            gpos = self.param("grid_pos_embed",
+                              nn.initializers.truncated_normal(0.02),
+                              (1, Hp * Wp + 1, D), p.param_dtype)
+            vis = vis + pos.astype(vis.dtype)
+            grid = grid + gpos.astype(grid.dtype)
 
-        for i in range(cfg.self_depth):
-            if cfg.use_beit:
-                vis = BEiTBlock(D, cfg.num_heads, (Hp, Wp),
-                                layerscale_value=cfg.layerscale_value,
-                                policy=p, name=f"blocks_{i}")(
-                    vis, deterministic=deterministic)
-                grid = BEiTBlock(D, cfg.num_heads, (Hp, Wp),
-                                 layerscale_value=cfg.layerscale_value,
-                                 policy=p, name=f"grid_blocks_{i}")(
-                    grid, deterministic=deterministic)
-            else:
-                vis = EncoderBlock(D, cfg.num_heads, policy=p,
-                                   name=f"blocks_{i}")(
-                    vis, deterministic=deterministic)
-                grid = EncoderBlock(D, cfg.num_heads, policy=p,
-                                    name=f"grid_blocks_{i}")(
-                    grid, deterministic=deterministic)
+        rel_bias = None
+        if cfg.pos_type == "shared_rel":
+            rel_bias = SharedRelPosBias((Hp, Wp), cfg.num_heads, policy=p,
+                                        name="rel_pos_bias")()
+        block_window = (Hp, Wp) if cfg.pos_type == "rel" else None
 
         feats: List[jnp.ndarray] = []
         gfeats: List[jnp.ndarray] = []
-        for i in range(cfg.cross_depth):
-            vis, grid = VGTCrossBlock(D, cfg.num_heads, policy=p,
-                                      name=f"cross_blocks_{i}")(vis, grid)
-            if i >= cfg.cross_depth - 4:      # last 4 stages → 4 scales
+        for i in range(cfg.self_depth):
+            vis = BEiTBlock(D, cfg.num_heads, block_window,
+                            layerscale_value=cfg.layerscale_value,
+                            policy=p, name=f"blocks_{i}")(
+                vis, rel_bias, deterministic=deterministic)
+            if i in cfg.out_indices:
                 feats.append(vis[:, 1:].reshape(B, Hp, Wp, D))
+        for i in range(cfg.self_depth):
+            grid = BEiTBlock(D, cfg.num_heads, block_window,
+                             layerscale_value=cfg.layerscale_value,
+                             policy=p, name=f"grid_blocks_{i}")(
+                grid, rel_bias, deterministic=deterministic)
+            if i in cfg.out_indices:
                 gfeats.append(grid[:, 1:].reshape(B, Hp, Wp, D))
 
-        # BEiT-FPN ops: 4x, 2x, 1x, 0.5x from the 1/16 ViT grid
+        for i in range(cfg.cross_depth):
+            vis, grid = VGTCrossBlock(D, cfg.num_heads,
+                                      layerscale_value=cfg.layerscale_value,
+                                      policy=p,
+                                      name=f"cross_blocks_{i}")(vis, grid)
+            feats.append(vis[:, 1:].reshape(B, Hp, Wp, D))
+            gfeats.append(grid[:, 1:].reshape(B, Hp, Wp, D))
+        feats = feats[:4]
+        gfeats = gfeats[:4]
+
+        # BEiT fpn ops (VGTbeit.py:643): 4x deconv+BN+GELU+deconv, 2x
+        # deconv, identity, 2x maxpool — all at embed_dim channels
         def fpn_op(x, level, prefix):
             if level == 0:
-                x = nn.ConvTranspose(D // 2, (2, 2), (2, 2), dtype=p.compute_dtype,
+                x = nn.ConvTranspose(D, (2, 2), (2, 2), dtype=p.compute_dtype,
                                      param_dtype=p.param_dtype,
                                      name=f"{prefix}fpn1_deconv1")(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=BN_MOMENTUM, dtype=jnp.float32,
+                                 param_dtype=p.param_dtype,
+                                 name=f"{prefix}fpn1_bn")(x).astype(p.compute_dtype)
                 x = _gelu(x)
-                x = nn.ConvTranspose(D // 4, (2, 2), (2, 2), dtype=p.compute_dtype,
+                x = nn.ConvTranspose(D, (2, 2), (2, 2), dtype=p.compute_dtype,
                                      param_dtype=p.param_dtype,
                                      name=f"{prefix}fpn1_deconv2")(x)
             elif level == 1:
-                x = nn.ConvTranspose(D // 2, (2, 2), (2, 2), dtype=p.compute_dtype,
+                x = nn.ConvTranspose(D, (2, 2), (2, 2), dtype=p.compute_dtype,
                                      param_dtype=p.param_dtype,
                                      name=f"{prefix}fpn2_deconv")(x)
             elif level == 3:
                 x = nn.max_pool(x, (2, 2), (2, 2))
-            return nn.Conv(cfg.fpn_dim, (1, 1), dtype=p.compute_dtype,
-                           param_dtype=p.param_dtype, name=f"{prefix}out{level}")(x)
+            return x
 
-        out = {}
-        names = ["p2", "p3", "p4", "p5"]
-        for lvl, name in enumerate(names):
+        merged = []
+        for lvl in range(4):
             v = fpn_op(feats[lvl], lvl, "")
             g = fpn_op(gfeats[lvl], lvl, "grid_")
             if cfg.merge_type == "Sum":
-                out[name] = v + g
-            else:  # Concat with adapter fcs (FeatureMerge.py:96-105)
-                va = nn.relu(nn.Dense(cfg.fpn_dim, dtype=p.compute_dtype,
+                merged.append(v + g)
+            else:  # Concat with adapter fcs (FeatureMerge.py:40-50)
+                va = nn.relu(nn.Dense(D, dtype=p.compute_dtype,
                                       param_dtype=p.param_dtype,
                                       name=f"vis_proj_{lvl}")(v))
-                ga = nn.relu(nn.Dense(cfg.fpn_dim, dtype=p.compute_dtype,
+                ga = nn.relu(nn.Dense(D, dtype=p.compute_dtype,
                                       param_dtype=p.param_dtype,
                                       name=f"text_proj_{lvl}")(g))
-                out[name] = nn.Dense(cfg.fpn_dim, dtype=p.compute_dtype,
-                                     param_dtype=p.param_dtype,
-                                     name=f"alpha_proj_{lvl}")(
-                    jnp.concatenate([va, ga], -1))
+                merged.append(nn.Dense(D, dtype=p.compute_dtype,
+                                       param_dtype=p.param_dtype,
+                                       name=f"alpha_proj_{lvl}")(
+                    jnp.concatenate([va, ga], -1)))
+
+        # detectron2 GridFPN (VGTbackbone.py:123): laterals + 3x3 outputs,
+        # top-down nearest sum, extra p6 maxpool
+        lat = [nn.Conv(cfg.fpn_dim, (1, 1), dtype=p.compute_dtype,
+                       param_dtype=p.param_dtype, name=f"fpn_lateral{i + 2}")(
+                   merged[i]) for i in range(4)]
+        for i in range(2, -1, -1):
+            up = jax.image.resize(lat[i + 1], lat[i].shape, method="nearest")
+            lat[i] = lat[i] + up
+        out = {}
+        for i in range(4):
+            out[f"p{i + 2}"] = nn.Conv(
+                cfg.fpn_dim, (3, 3), padding="SAME", dtype=p.compute_dtype,
+                param_dtype=p.param_dtype, name=f"fpn_output{i + 2}")(lat[i])
+        out["p6"] = nn.max_pool(out["p5"], (1, 1), (2, 2))
         return out
 
 
@@ -338,11 +490,12 @@ class VGTDetector(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, images, grid_ids, deterministic: bool = True):
+    def __call__(self, images, grid_ids, train: bool = False,
+                 deterministic: bool = True):
         cfg = self.config
         p = self.policy
-        pyr = VGTBackbone(cfg, policy=p, name="backbone")(images, grid_ids,
-                                                          deterministic)
+        pyr = VGTBackbone(cfg, policy=p, name="backbone")(
+            images, grid_ids, train=train, deterministic=deterministic)
         x = pyr["p2"]
         heads = {}
         for name, ch in (("hm", cfg.num_classes), ("wh", 8), ("reg", 2)):

@@ -1,6 +1,6 @@
 """BEiTBlock parity vs a torch mirror of VGTbeit.py:230 Attention + :361
 Block (q/v-only biases, static-window relative-position bias with the 3
-cls slots, layerscale), plus the use_beit VGT backbone path."""
+cls slots, layerscale), plus the released two-stream shared-rel-pos backbone path."""
 
 import jax
 import jax.numpy as jnp
@@ -66,16 +66,17 @@ class TestBEiTBlock:
         params = jax.tree.map(np.asarray, blk.init(
             jax.random.PRNGKey(0), jnp.asarray(x))["params"])
         sd = {k: v.numpy() for k, v in tm.state_dict().items()}
-        params["qkv"]["kernel"] = sd["qkv.weight"].T
-        params["q_bias"] = sd["q_bias"]
-        params["v_bias"] = sd["v_bias"]
-        params["rel_pos_table"] = sd["rel_pos_table"]
-        params["proj"]["kernel"] = sd["proj.weight"].T
-        params["proj"]["bias"] = sd["proj.bias"]
-        params["mlp_fc1"]["kernel"] = sd["fc1.weight"].T
-        params["mlp_fc1"]["bias"] = sd["fc1.bias"]
-        params["mlp_fc2"]["kernel"] = sd["fc2.weight"].T
-        params["mlp_fc2"]["bias"] = sd["fc2.bias"]
+        attn = params["attn"]
+        attn["qkv"]["kernel"] = sd["qkv.weight"].T
+        attn["q_bias"] = sd["q_bias"]
+        attn["v_bias"] = sd["v_bias"]
+        attn["relative_position_bias_table"] = sd["rel_pos_table"]
+        attn["proj"]["kernel"] = sd["proj.weight"].T
+        attn["proj"]["bias"] = sd["proj.bias"]
+        params["mlp"]["fc1"]["kernel"] = sd["fc1.weight"].T
+        params["mlp"]["fc1"]["bias"] = sd["fc1.bias"]
+        params["mlp"]["fc2"]["kernel"] = sd["fc2.weight"].T
+        params["mlp"]["fc2"]["bias"] = sd["fc2.bias"]
         for n in ("norm1", "norm2"):
             params[n]["scale"] = sd[n + ".weight"]
             params[n]["bias"] = sd[n + ".bias"]
@@ -89,16 +90,19 @@ class TestBEiTBlock:
         np.testing.assert_allclose(np.asarray(mine), theirs,
                                    rtol=2e-3, atol=2e-3)
 
-    def test_backbone_use_beit_runs(self):
+    def test_backbone_shared_rel_runs(self):
+        """Released recipe shape: shared rel-pos table, no abs positions,
+        per-stream fpn ops + Sum merge + GridFPN."""
         cfg = VGTConfig(img_size=(64, 64), patch_size=16, embed_dim=32,
-                        self_depth=1, cross_depth=4, num_heads=2,
+                        self_depth=4, cross_depth=0, num_heads=2,
                         grid_embedding_dim=16, vocab_size=50, fpn_dim=16,
-                        use_beit=True)
+                        out_indices=(0, 1, 2, 3))
         model = VGTBackbone(cfg, policy=FP32_POLICY)
         imgs = jnp.zeros((1, 64, 64, 3))
         grids = jnp.zeros((1, 64, 64), jnp.int32)
         variables = model.init(jax.random.PRNGKey(0), imgs, grids)
         out = model.apply(variables, imgs, grids)
         assert "blocks_0" in variables["params"]
-        assert "rel_pos_table" in variables["params"]["blocks_0"]
+        assert "relative_position_bias_table" in variables["params"]["rel_pos_bias"]
+        assert "pos_embed" not in variables["params"]
         assert all(np.isfinite(np.asarray(v)).all() for v in out.values())

@@ -33,29 +33,30 @@ class TestVGT:
         m = VGTBackbone(TINY, policy=FP32_POLICY)
         imgs = jnp.zeros((1, 64, 64, 3))
         grid = jnp.zeros((1, 64, 64), jnp.int32)
-        params = m.init(jax.random.PRNGKey(0), imgs, grid)["params"]
-        out = m.apply({"params": params}, imgs, grid)
+        variables = m.init(jax.random.PRNGKey(0), imgs, grid)
+        out = m.apply(variables, imgs, grid)
         # patch grid 4x4 at 1/16 → p2 1/4 (16x16), p3 1/8, p4 1/16, p5 1/32
         assert out["p2"].shape == (1, 16, 16, 16)
         assert out["p3"].shape == (1, 8, 8, 16)
         assert out["p4"].shape == (1, 4, 4, 16)
         assert out["p5"].shape == (1, 2, 2, 16)
+        assert out["p6"].shape == (1, 1, 1, 16)   # LastLevelMaxPool
 
     def test_grid_stream_contributes(self):
         m = VGTBackbone(TINY, policy=FP32_POLICY)
         imgs = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
         g1 = jnp.zeros((1, 64, 64), jnp.int32)
         g2 = jnp.full((1, 64, 64), 42, jnp.int32)
-        params = m.init(jax.random.PRNGKey(1), imgs, g1)["params"]
-        o1 = m.apply({"params": params}, imgs, g1)
-        o2 = m.apply({"params": params}, imgs, g2)
+        variables = m.init(jax.random.PRNGKey(1), imgs, g1)
+        o1 = m.apply(variables, imgs, g1)
+        o2 = m.apply(variables, imgs, g2)
         assert not np.allclose(np.asarray(o1["p2"]), np.asarray(o2["p2"]))
 
     def test_detector_heads(self):
         m = VGTDetector(TINY, policy=FP32_POLICY)
         imgs = jnp.zeros((1, 64, 64, 3))
         grid = jnp.zeros((1, 64, 64), jnp.int32)
-        params = m.init(jax.random.PRNGKey(0), imgs, grid)["params"]
-        out = jax.jit(lambda p, i, g: m.apply({"params": p}, i, g))(params, imgs, grid)
+        variables = m.init(jax.random.PRNGKey(0), imgs, grid)
+        out = jax.jit(lambda v, i, g: m.apply(v, i, g))(variables, imgs, grid)
         assert out["hm"].shape == (1, 16, 16, 5)
         assert out["wh"].shape == (1, 16, 16, 8)

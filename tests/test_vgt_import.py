@@ -1,0 +1,344 @@
+"""VGT released-checkpoint import parity (VERDICT r1 item 5).
+
+Torch mirror of the released `VGT_dit_base_patch16` recipe at tiny dims —
+two independent DiT streams with ONE shared relative-position bias
+(POS_TYPE 'shared_rel'), layerscales, per-stream fpn1..4 ops (BN inside
+fpn1), Sum FeatureMerge and the detectron2 GridFPN — keyed exactly like a
+real detectron2 state dict, imported via import_vgt, feature parity on the
+full p2..p6 pyramid. Also covers the faithful CrossBlock (cross_depth>0
+variants) and the torch-bicubic rel-pos table interpolation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+from advancedliteratemachinery_tpu.engine.checkpoint import (
+    import_vgt, interpolate_rel_pos_table)
+from advancedliteratemachinery_tpu.models.vgt import (
+    VGTBackbone, VGTConfig, _beit_rel_pos_index)
+
+D, H, WIN = 32, 4, 4           # embed dim, heads, patch grid (64/16)
+DEPTH = 4
+OUT_IDX = (0, 1, 2, 3)
+VOCAB, GDIM = 60, 16
+FPN_DIM = 16
+
+
+class TAttn(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.qkv = nn.Linear(D, 3 * D, bias=False)
+        self.q_bias = nn.Parameter(torch.randn(D) * 0.1)
+        self.v_bias = nn.Parameter(torch.randn(D) * 0.1)
+        self.proj = nn.Linear(D, D)
+
+    def forward(self, x, rel_bias=None):
+        B, N, _ = x.shape
+        hd = D // H
+        bias = torch.cat([self.q_bias, torch.zeros_like(self.v_bias),
+                          self.v_bias])
+        qkv = F.linear(x, self.qkv.weight, bias)
+        qkv = qkv.reshape(B, N, 3, H, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        s = (q * hd ** -0.5) @ k.transpose(-2, -1)
+        if rel_bias is not None:
+            s = s + rel_bias[None]
+        a = s.softmax(-1)
+        o = (a @ v).transpose(1, 2).reshape(B, N, D)
+        return self.proj(o)
+
+
+class TBlock(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(D, eps=1e-6)
+        self.attn = TAttn()
+        self.norm2 = nn.LayerNorm(D, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(D, 4 * D)
+        self.mlp.fc2 = nn.Linear(4 * D, D)
+        self.gamma_1 = nn.Parameter(torch.full((D,), 0.1))
+        self.gamma_2 = nn.Parameter(torch.full((D,), 0.1))
+
+    def forward(self, x, rel_bias):
+        x = x + self.gamma_1 * self.attn(self.norm1(x), rel_bias)
+        return x + self.gamma_2 * self.mlp.fc2(
+            F.gelu(self.mlp.fc1(self.norm2(x))))
+
+
+class TSharedRelPos(nn.Module):
+    def __init__(self):
+        super().__init__()
+        num_rel = (2 * WIN - 1) ** 2 + 3
+        self.relative_position_bias_table = nn.Parameter(
+            torch.randn(num_rel, H) * 0.1)
+
+    def forward(self):
+        idx = torch.from_numpy(
+            _beit_rel_pos_index(WIN, WIN).astype(np.int64))
+        n = WIN * WIN + 1
+        return self.relative_position_bias_table[idx].view(n, n, H) \
+            .permute(2, 0, 1)
+
+
+class TBeit(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.cls_token = nn.Parameter(torch.randn(1, 1, D) * 0.02)
+        self.grid_token = nn.Parameter(torch.randn(1, 1, D) * 0.02)
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, D, 16, 16)
+        self.grid_patch_embed = nn.Module()
+        self.grid_patch_embed.proj = nn.Conv2d(GDIM, D, 16, 16)
+        self.rel_pos_bias = TSharedRelPos()
+        self.blocks = nn.ModuleList([TBlock() for _ in range(DEPTH)])
+        self.grid_blocks = nn.ModuleList([TBlock() for _ in range(DEPTH)])
+        self.fpn1 = nn.Sequential(
+            nn.ConvTranspose2d(D, D, 2, 2), nn.BatchNorm2d(D), nn.GELU(),
+            nn.ConvTranspose2d(D, D, 2, 2))
+        self.fpn2 = nn.Sequential(nn.ConvTranspose2d(D, D, 2, 2))
+        self.fpn3 = nn.Identity()
+        self.fpn4 = nn.MaxPool2d(2, 2)
+        self.grid_fpn1 = nn.Sequential(
+            nn.ConvTranspose2d(D, D, 2, 2), nn.BatchNorm2d(D), nn.GELU(),
+            nn.ConvTranspose2d(D, D, 2, 2))
+        self.grid_fpn2 = nn.Sequential(nn.ConvTranspose2d(D, D, 2, 2))
+        self.grid_fpn3 = nn.Identity()
+        self.grid_fpn4 = nn.MaxPool2d(2, 2)
+
+    def forward(self, x, grid_img):
+        B = x.shape[0]
+        vis = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        grd = self.grid_patch_embed.proj(grid_img).flatten(2).transpose(1, 2)
+        vis = torch.cat([self.cls_token.expand(B, -1, -1), vis], 1)
+        grd = torch.cat([self.grid_token.expand(B, -1, -1), grd], 1)
+        rel = self.rel_pos_bias()
+        feats, gfeats = [], []
+        for i, blk in enumerate(self.blocks):
+            vis = blk(vis, rel)
+            if i in OUT_IDX:
+                feats.append(vis[:, 1:].transpose(1, 2)
+                             .reshape(B, D, WIN, WIN))
+        for i, blk in enumerate(self.grid_blocks):
+            grd = blk(grd, rel)
+            if i in OUT_IDX:
+                gfeats.append(grd[:, 1:].transpose(1, 2)
+                              .reshape(B, D, WIN, WIN))
+        ops = [self.fpn1, self.fpn2, self.fpn3, self.fpn4]
+        gops = [self.grid_fpn1, self.grid_fpn2, self.grid_fpn3,
+                self.grid_fpn4]
+        feats = [op(f) for op, f in zip(ops, feats)]
+        gfeats = [op(f) for op, f in zip(gops, gfeats)]
+        return feats, gfeats
+
+
+class TVGT(nn.Module):
+    """detectron2-keyed: Wordgrid_embedding + backbone.bottom_up.backbone +
+    backbone.fpn_lateral/output."""
+
+    def __init__(self):
+        super().__init__()
+        self.Wordgrid_embedding = nn.Module()
+        self.Wordgrid_embedding.embedding = nn.Embedding(VOCAB, 768)
+        self.Wordgrid_embedding.embedding_proj = nn.Linear(768, GDIM,
+                                                           bias=False)
+        self.backbone = nn.Module()
+        self.backbone.bottom_up = nn.Module()
+        self.backbone.bottom_up.backbone = TBeit()
+        for i in range(2, 6):
+            setattr(self.backbone, f"fpn_lateral{i}",
+                    nn.Conv2d(D, FPN_DIM, 1))
+            setattr(self.backbone, f"fpn_output{i}",
+                    nn.Conv2d(FPN_DIM, FPN_DIM, 3, padding=1))
+
+    def forward(self, images, grid_ids):
+        grid_img = self.Wordgrid_embedding.embedding_proj(
+            self.Wordgrid_embedding.embedding(grid_ids))
+        grid_img = grid_img.permute(0, 3, 1, 2)
+        feats, gfeats = self.backbone.bottom_up.backbone(images, grid_img)
+        merged = [v + g for v, g in zip(feats, gfeats)]     # Sum merge
+        lat = [getattr(self.backbone, f"fpn_lateral{i + 2}")(merged[i])
+               for i in range(4)]
+        for i in range(2, -1, -1):
+            lat[i] = lat[i] + F.interpolate(lat[i + 1], scale_factor=2.0,
+                                            mode="nearest")
+        out = {}
+        for i in range(4):
+            out[f"p{i + 2}"] = getattr(
+                self.backbone, f"fpn_output{i + 2}")(lat[i])
+        out["p6"] = F.max_pool2d(out["p5"], 1, 2)
+        return out
+
+
+@pytest.fixture(scope="module")
+def imported():
+    torch.manual_seed(0)
+    tm = TVGT().eval()
+    cfg = VGTConfig(img_size=(64, 64), patch_size=16, embed_dim=D,
+                    self_depth=DEPTH, cross_depth=0, num_heads=H,
+                    grid_embedding_dim=GDIM, vocab_size=VOCAB,
+                    out_indices=OUT_IDX, fpn_dim=FPN_DIM)
+    model = VGTBackbone(cfg, policy=FP32_POLICY)
+    imgs0 = jnp.zeros((1, 64, 64, 3))
+    grid0 = jnp.zeros((1, 64, 64), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), imgs0, grid0)
+    variables = jax.tree.map(np.asarray, variables)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = import_vgt(sd, variables)
+    return tm, model, variables
+
+
+class TestVGTImport:
+    def test_pyramid_parity(self, imported):
+        tm, model, variables = imported
+        rng = np.random.default_rng(0)
+        imgs = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        grid = rng.integers(0, VOCAB, (2, 64, 64)).astype(np.int64)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(imgs).permute(0, 3, 1, 2),
+                      torch.from_numpy(grid))
+        got = model.apply(variables, jnp.asarray(imgs),
+                          jnp.asarray(grid.astype(np.int32)))
+        for k in ("p2", "p3", "p4", "p5", "p6"):
+            np.testing.assert_allclose(
+                np.asarray(got[k]),
+                want[k].permute(0, 2, 3, 1).numpy(),
+                rtol=2e-3, atol=2e-3, err_msg=f"{k} diverges after import")
+
+    def test_rel_pos_bicubic_matches_torch(self):
+        rng = np.random.default_rng(1)
+        table = rng.standard_normal((7 * 7 + 3, H)).astype(np.float32)
+        got = interpolate_rel_pos_table(table, (4, 4), (6, 6))
+        body = torch.from_numpy(table[:-3]).permute(1, 0).reshape(1, H, 7, 7)
+        want_body = F.interpolate(body, size=(11, 11), mode="bicubic",
+                                  align_corners=False)
+        want = np.concatenate(
+            [want_body.reshape(H, -1).permute(1, 0).numpy(), table[-3:]], 0)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        assert got.shape == ((2 * 6 - 1) ** 2 + 3, H)
+
+
+class TestCrossBlockParity:
+    def test_cross_block_matches_torch(self):
+        """Faithful CrossBlock (VGTbeit.py:135): cross attn (packed kv) →
+        inner CrossSelfBlock → per-stream MLPs, all with layerscales."""
+        from advancedliteratemachinery_tpu.models.vgt import VGTCrossBlock
+
+        class TCrossAttn(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.q = nn.Linear(D, D, bias=False)
+                self.kv = nn.Linear(D, 2 * D, bias=False)
+                self.q_bias = nn.Parameter(torch.randn(D) * 0.1)
+                self.v_bias = nn.Parameter(torch.randn(D) * 0.1)
+                self.proj = nn.Linear(D, D)
+
+            def forward(self, x, y):
+                B, N, _ = x.shape
+                hd = D // H
+                kv_bias = torch.cat([torch.zeros_like(self.v_bias),
+                                     self.v_bias])
+                kv = F.linear(y, self.kv.weight, kv_bias)
+                kv = kv.reshape(B, -1, 2, H, hd).permute(2, 0, 3, 1, 4)
+                k, v = kv[0], kv[1]
+                q = F.linear(x, self.q.weight, self.q_bias)
+                q = q.reshape(B, N, H, hd).transpose(1, 2)
+                a = ((q * hd ** -0.5) @ k.transpose(-2, -1)).softmax(-1)
+                o = (a @ v).transpose(1, 2).reshape(B, N, D)
+                return self.proj(o)
+
+        class TCrossSelf(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm_vis = nn.LayerNorm(D, eps=1e-6)
+                self.norm_grid = nn.LayerNorm(D, eps=1e-6)
+                self.vis_attn = TAttn()
+                self.grid_attn = TAttn()
+                self.gamma_vis = nn.Parameter(torch.full((D,), 0.1))
+                self.gamma_grid = nn.Parameter(torch.full((D,), 0.1))
+
+            def forward(self, vis, grid):
+                vis = vis + self.gamma_vis * self.vis_attn(self.norm_vis(vis))
+                grid = grid + self.gamma_grid * self.grid_attn(
+                    self.norm_grid(grid))
+                return vis, grid
+
+        class TCross(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm_vis = nn.LayerNorm(D, eps=1e-6)
+                self.norm_grid = nn.LayerNorm(D, eps=1e-6)
+                self.vis_attn = TCrossAttn()
+                self.grid_attn = TCrossAttn()
+                self.self_block = TCrossSelf()
+                self.norm2_vis = nn.LayerNorm(D, eps=1e-6)
+                self.norm2_grid = nn.LayerNorm(D, eps=1e-6)
+                self.vis_mlp = nn.Module()
+                self.vis_mlp.fc1 = nn.Linear(D, 4 * D)
+                self.vis_mlp.fc2 = nn.Linear(4 * D, D)
+                self.grid_mlp = nn.Module()
+                self.grid_mlp.fc1 = nn.Linear(D, 4 * D)
+                self.grid_mlp.fc2 = nn.Linear(4 * D, D)
+                for n in ("gamma_vis", "gamma_grid", "gamma_1", "gamma_2"):
+                    setattr(self, n, nn.Parameter(torch.full((D,), 0.1)))
+
+            def forward(self, vis, grid):
+                nv, ng = self.norm_vis(vis), self.norm_grid(grid)
+                vis = vis + self.gamma_vis * self.vis_attn(nv, ng)
+                grid = grid + self.gamma_grid * self.grid_attn(ng, nv)
+                vis, grid = self.self_block(vis, grid)
+                vis = vis + self.gamma_1 * self.vis_mlp.fc2(
+                    F.gelu(self.vis_mlp.fc1(self.norm2_vis(vis))))
+                grid = grid + self.gamma_2 * self.grid_mlp.fc2(
+                    F.gelu(self.grid_mlp.fc1(self.norm2_grid(grid))))
+                return vis, grid
+
+        torch.manual_seed(1)
+        tm = TCross().eval()
+        blk = VGTCrossBlock(D, H, layerscale_value=0.1, policy=FP32_POLICY)
+        N = 10
+        rng = np.random.default_rng(2)
+        vis = rng.standard_normal((2, N, D)).astype(np.float32)
+        grid = rng.standard_normal((2, N, D)).astype(np.float32)
+        params = jax.tree.map(np.asarray, blk.init(
+            jax.random.PRNGKey(0), jnp.asarray(vis), jnp.asarray(grid))["params"])
+
+        # map through the same helpers the real importer uses
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            _TrackingDict, _vgt_cross_attn, _vgt_self_attn, linear_kernel)
+        sd = _TrackingDict({k: v.numpy() for k, v in tm.state_dict().items()})
+        for n in ("norm_vis", "norm_grid", "norm2_vis", "norm2_grid"):
+            params[n]["scale"] = sd[f"{n}.weight"]
+            params[n]["bias"] = sd[f"{n}.bias"]
+        _vgt_cross_attn(sd, params["vis_attn"], "vis_attn.")
+        _vgt_cross_attn(sd, params["grid_attn"], "grid_attn.")
+        sb = params["self_block"]
+        for n in ("norm_vis", "norm_grid"):
+            sb[n]["scale"] = sd[f"self_block.{n}.weight"]
+            sb[n]["bias"] = sd[f"self_block.{n}.bias"]
+        _vgt_self_attn(sd, sb["vis_attn"], "self_block.vis_attn.")
+        _vgt_self_attn(sd, sb["grid_attn"], "self_block.grid_attn.")
+        for mlp in ("vis_mlp", "grid_mlp"):
+            params[mlp]["fc1"]["kernel"] = linear_kernel(sd[f"{mlp}.fc1.weight"])
+            params[mlp]["fc1"]["bias"] = sd[f"{mlp}.fc1.bias"]
+            params[mlp]["fc2"]["kernel"] = linear_kernel(sd[f"{mlp}.fc2.weight"])
+            params[mlp]["fc2"]["bias"] = sd[f"{mlp}.fc2.bias"]
+        for n in ("gamma_vis", "gamma_grid", "gamma_1", "gamma_2"):
+            params[n] = sd[n]
+        sb["gamma_vis"] = sd["self_block.gamma_vis"]
+        sb["gamma_grid"] = sd["self_block.gamma_grid"]
+
+        got_v, got_g = blk.apply({"params": jax.tree.map(jnp.asarray, params)},
+                                 jnp.asarray(vis), jnp.asarray(grid))
+        with torch.no_grad():
+            want_v, want_g = tm(torch.from_numpy(vis), torch.from_numpy(grid))
+        np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(got_g), want_g.numpy(),
+                                   rtol=2e-3, atol=2e-3)
