@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -75,6 +76,23 @@ class BpeCodec:
         self.max_tokens = batch_max_length + 2
         self.sos_id, self.eos_id, self.pad_id = sos_id, eos_id, pad_id
         self._cache: Dict[str, str] = {}
+
+    @classmethod
+    def default(cls, **kw) -> "BpeCodec":
+        """Load the standard GPT-2 vocabulary from the package assets dir
+        (populated by scripts/fetch_vocabs.py — this zero-egress build
+        image cannot vendor the files; run the script where egress
+        exists). Raises FileNotFoundError with that instruction."""
+        assets = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "assets")
+        vocab = os.path.join(assets, "gpt2_vocab.json")
+        merges = os.path.join(assets, "gpt2_merges.txt")
+        if not (os.path.exists(vocab) and os.path.exists(merges)):
+            raise FileNotFoundError(
+                "GPT-2 vocab assets missing — run scripts/fetch_vocabs.py "
+                "once (needs network) to populate "
+                "advancedliteratemachinery_tpu/assets/")
+        return cls.from_files(vocab, merges, **kw)
 
     @classmethod
     def from_files(cls, vocab_json: str, merges_txt: str, **kw) -> "BpeCodec":
@@ -196,6 +214,20 @@ class WordpieceCodec:
         self.sep_id = vocab.get("[SEP]", 102)
         self.pad_id = vocab.get("[PAD]", 0)
         self.unk = "[UNK]"
+
+    @classmethod
+    def default(cls, **kw) -> "WordpieceCodec":
+        """BERT-base-uncased vocab from the package assets dir (see
+        scripts/fetch_vocabs.py)."""
+        assets = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "assets")
+        vocab = os.path.join(assets, "bert_base_uncased_vocab.txt")
+        if not os.path.exists(vocab):
+            raise FileNotFoundError(
+                "BERT vocab asset missing — run scripts/fetch_vocabs.py "
+                "once (needs network) to populate "
+                "advancedliteratemachinery_tpu/assets/")
+        return cls.from_file(vocab, **kw)
 
     @classmethod
     def from_file(cls, vocab_txt: str, **kw) -> "WordpieceCodec":

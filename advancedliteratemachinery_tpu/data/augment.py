@@ -40,47 +40,185 @@ class _Op:
 # ---------------- warp ----------------
 
 
-class Curve(_Op):
-    def __call__(self, img, mag=-1, rng=None):
-        import cv2
+def _tps_fit(ctrl: np.ndarray, target: np.ndarray) -> tuple:
+    """Fit a thin-plate spline f with f(ctrl_i) = target_i (per axis).
+    Kernel U(r) = r^2 log r^2 (OpenCV ThinPlateSplineShapeTransformer
+    convention; any constant scaling of U yields the same interpolant)."""
+    N = len(ctrl)
+    d2 = ((ctrl[:, None, :] - ctrl[None, :, :]) ** 2).sum(-1)
+    K = np.where(d2 > 0, d2 * np.log(np.maximum(d2, 1e-12)), 0.0)
+    P = np.concatenate([np.ones((N, 1)), ctrl], axis=1)
+    L = np.zeros((N + 3, N + 3))
+    L[:N, :N] = K
+    L[:N, N:] = P
+    L[N:, :N] = P.T
+    Y = np.zeros((N + 3, 2))
+    Y[:N] = target
+    Wmat = np.linalg.solve(L + 1e-9 * np.eye(N + 3), Y)
+    return Wmat[:N], Wmat[N:]
 
+
+def _tps_backward_warp(arr: np.ndarray, dst_pts, src_pts) -> np.ndarray:
+    """Reference warp.py semantics: tps.estimateTransformation(dst, src) +
+    warpImage — each output pixel p samples the input at f(p) where
+    f(dst_i) = src_i; bilinear, zero border (cv2 warpImage default)."""
+    dst = np.asarray(dst_pts, np.float64)
+    src = np.asarray(src_pts, np.float64)
+    w_coef, a_coef = _tps_fit(dst, src)
+    H, W = arr.shape[:2]
+    ys, xs = np.mgrid[0:H, 0:W]
+    pts = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.float64)
+    d2 = ((pts[:, None, :] - dst[None, :, :]) ** 2).sum(-1)
+    U = np.where(d2 > 0, d2 * np.log(np.maximum(d2, 1e-12)), 0.0)
+    mapped = U @ w_coef + np.concatenate(
+        [np.ones((len(pts), 1)), pts], axis=1) @ a_coef
+    sx = mapped[:, 0].reshape(H, W)
+    sy = mapped[:, 1].reshape(H, W)
+    x0 = np.floor(sx)
+    y0 = np.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    img = arr.astype(np.float64)
+    if img.ndim == 2:
+        img = img[..., None]
+    out = np.zeros((H, W, img.shape[2]), np.float64)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = (x0 + dx).astype(int)
+            yi = (y0 + dy).astype(int)
+            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+            wgt = (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+            xi = np.clip(xi, 0, W - 1)
+            yi = np.clip(yi, 0, H - 1)
+            out += (wgt * valid)[..., None] * img[yi, xi]
+    out = np.clip(np.rint(out), 0, 255).astype(arr.dtype)
+    return out[..., 0] if arr.ndim == 2 else out
+
+
+class Curve(_Op):
+    """Faithful port of warp.py:164 — fisheye-style TPS control-point
+    bend on a square canvas, random vertical flip, crop of the curved
+    half, resize back."""
+
+    side = 224
+
+    def __call__(self, img, mag=-1, rng=None):
         rng = _rng(rng)
-        w, h = img.size
-        amp = [0.1, 0.2, 0.3][mag % 3] * h
+        W, H = img.size
+        side = self.side
+        if H != side or W != side:
+            img = img.resize((side, side), Image.BICUBIC)
+        isflip = rng.uniform(0, 1) > 0.5
+        if isflip:
+            img = ImageOps.flip(img)
+
         arr = np.asarray(img)
-        xs = np.arange(w)
-        shift = (amp * np.sin(np.pi * xs / w)).astype(np.int32)
-        out = np.zeros_like(arr)
-        for x in range(w):
-            out[:, x] = np.roll(arr[:, x], int(shift[x]), axis=0)
-        return Image.fromarray(out)
+        w = h = side
+        w_25, w_50, w_75 = 0.25 * w, 0.50 * w, 0.75 * w
+        b = [1.1, .95, .8]
+        index = mag if 0 <= mag < len(b) else 0
+        rmin = b[index]
+
+        r = rng.uniform(rmin, rmin + .1) * h
+        x1 = (r ** 2 - w_50 ** 2) ** 0.5
+        h1 = r - x1
+        t = rng.uniform(0.4, 0.5) * h
+        w2 = w_50 * t / r
+        hi = x1 * t / r
+        h2 = h1 + hi
+        sinb_2 = ((1 - x1 / r) / 2) ** 0.5
+        cosb_2 = ((1 + x1 / r) / 2) ** 0.5
+        w3 = w_50 - r * sinb_2
+        h3 = r - r * cosb_2
+        w4 = w_50 - (r - t) * sinb_2
+        h4 = r - (r - t) * cosb_2
+        w5 = 0.5 * w2
+        h5 = h1 + 0.5 * hi
+        h_50 = 0.50 * h
+
+        srcpt = [(0, 0), (w, 0), (w_50, 0), (0, h), (w, h), (w_25, 0),
+                 (w_75, 0), (w_50, h), (w_25, h), (w_75, h), (0, h_50),
+                 (w, h_50)]
+        dstpt = [(0, h1), (w, h1), (w_50, 0), (w2, h2), (w - w2, h2),
+                 (w3, h3), (w - w3, h3), (w_50, t), (w4, h4), (w - w4, h4),
+                 (w5, h5), (w - w5, h5)]
+        arr = _tps_backward_warp(arr, dstpt, srcpt)
+        img = Image.fromarray(arr)
+        if isflip:
+            img = ImageOps.flip(img)
+            rect = (0, side // 2, side, side)
+        else:
+            rect = (0, 0, side, side // 2)
+        img = img.crop(rect)
+        return img.resize((W, H), Image.BICUBIC)
 
 
 class Distort(_Op):
-    def __call__(self, img, mag=-1, rng=None):
-        import cv2
+    """Faithful port of warp.py:82 — 8 border control points jittered by
+    frac, TPS backward warp."""
 
+    def __call__(self, img, mag=-1, rng=None):
         rng = _rng(rng)
-        w, h = img.size
-        k = [0.02, 0.04, 0.06][mag % 3]
-        src = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
-        jit = (rng.uniform(-k, k, (4, 2)) * [w, h]).astype(np.float32)
-        M = cv2.getPerspectiveTransform(src, (src + jit).astype(np.float32))
-        out = cv2.warpPerspective(np.asarray(img), M, (w, h),
-                                  borderMode=cv2.BORDER_REPLICATE)
-        return Image.fromarray(out)
+        W, H = img.size
+        arr = np.asarray(img)
+        W_33, W_66 = 0.33 * W, 0.66 * W
+        H_50 = 0.50 * H
+        P = 0
+        b = [.2, .3, .4]
+        frac = b[mag] if 0 <= mag < len(b) else b[-1]
+
+        srcpt, dstpt = [], []
+        for (sx, sy, xlo, xhi, ylo, yhi) in [
+            (P, P, 0, frac, 0, frac),
+            (P + W_33, P, -frac, frac, 0, frac),
+            (P + W_66, P, -frac, frac, 0, frac),
+            (W - P, P, -frac, 0, 0, frac),
+            (P, H - P, 0, frac, -frac, 0),
+            (P + W_33, H - P, -frac, frac, -frac, 0),
+            (P + W_66, H - P, -frac, frac, -frac, 0),
+            (W - P, H - P, -frac, 0, -frac, 0),
+        ]:
+            srcpt.append([sx, sy])
+            x = rng.uniform(xlo, xhi) * W_33
+            y = rng.uniform(ylo, yhi) * H_50
+            dstpt.append([sx + x, sy + y])
+        arr = _tps_backward_warp(arr, dstpt, srcpt)
+        return Image.fromarray(arr)
 
 
 class Stretch(_Op):
-    def __call__(self, img, mag=-1, rng=None):
-        import cv2
+    """Faithful port of warp.py:10 — 4 vertical anchor lines shifted
+    horizontally by frac, TPS backward warp."""
 
+    def __call__(self, img, mag=-1, rng=None):
         rng = _rng(rng)
-        w, h = img.size
-        frac = [0.9, 0.8, 0.7][mag % 3]
-        nw = max(1, int(w * rng.uniform(frac, 1.0)))
-        arr = cv2.resize(np.asarray(img), (nw, h))
-        arr = cv2.resize(arr, (w, h))
+        W, H = img.size
+        arr = np.asarray(img)
+        W_33, W_66 = 0.33 * W, 0.66 * W
+        H_50 = 0.50 * H
+        P = 0
+        b = [.2, .3, .4]
+        frac = b[mag] if 0 <= mag < len(b) else b[-1]
+
+        srcpt, dstpt = [], []
+        # left-most (3 pts), two middles (2 pts each), right-most (3 pts)
+        x = rng.uniform(0, frac) * W_33
+        for sy in (P, H - P, H_50):
+            srcpt.append([P, sy])
+            dstpt.append([P + x, sy])
+        x = rng.uniform(-frac, frac) * W_33
+        for sy in (P, H - P):
+            srcpt.append([P + W_33, sy])
+            dstpt.append([P + W_33 + x, sy])
+        x = rng.uniform(-frac, frac) * W_33
+        for sy in (P, H - P):
+            srcpt.append([P + W_66, sy])
+            dstpt.append([P + W_66 + x, sy])
+        x = rng.uniform(-frac, 0) * W_33
+        for sy in (P, H - P, H_50):
+            srcpt.append([W - P, sy])
+            dstpt.append([W - P + x, sy])
+        arr = _tps_backward_warp(arr, dstpt, srcpt)
         return Image.fromarray(arr)
 
 

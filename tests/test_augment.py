@@ -60,3 +60,40 @@ class TestRandAugment:
         aug = RandAugment(intact_prob=0.0, groups=["geometry"], num_groups=1, seed=3)
         out = aug(_img())
         assert out.size == (128, 32)
+
+
+class TestTPSWarp:
+    def test_identity_control_points(self):
+        from advancedliteratemachinery_tpu.data.augment import _tps_backward_warp
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+        pts = [[0, 0], [19, 0], [0, 15], [19, 15], [10, 7]]
+        out = _tps_backward_warp(arr, pts, pts)
+        np.testing.assert_array_equal(out, arr)
+
+    def test_affine_consistent_points_give_exact_affine(self):
+        """TPS through affinely-consistent control points degenerates to
+        the exact affine map (the RBF weights vanish)."""
+        from advancedliteratemachinery_tpu.data.augment import _tps_fit
+        rng = np.random.default_rng(1)
+        dst = rng.uniform(0, 20, (6, 2))
+        A = np.array([[1.1, 0.2], [-0.1, 0.9]])
+        b = np.array([2.0, -1.0])
+        src = dst @ A.T + b
+        w, a = _tps_fit(dst, src)
+        assert np.abs(w).max() < 1e-6          # pure affine
+        p = np.array([[5.0, 7.0]])
+        got = np.concatenate([np.ones((1, 1)), p], 1) @ a
+        np.testing.assert_allclose(got, p @ A.T + b, atol=1e-4)
+
+    def test_curve_bends_rows(self):
+        """Curve must move pixel mass vertically by different amounts per
+        column (the fisheye bend), not uniformly."""
+        from advancedliteratemachinery_tpu.data.augment import Curve
+        img = Image.fromarray(np.uint8(np.tile(
+            np.linspace(0, 255, 64)[:, None], (1, 128))))
+        rng = np.random.default_rng(3)
+        out = np.asarray(Curve()(img.convert("RGB"), mag=0, rng=rng))
+        col_means = out[:, :, 0].mean(axis=0)
+        # center columns sample lower (brighter) source rows than edges
+        assert abs(float(col_means[64]) - float(col_means[2])) > 5.0

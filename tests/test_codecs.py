@@ -119,3 +119,85 @@ class TestWordpieceCodec:
     def test_lowercase(self):
         codec = _toy_wp()
         assert codec.encode_text("HELLO") == codec.encode_text("hello")
+
+
+class TestVocabFileLoaders:
+    """from_files/from_file round trips over STR-style labels using
+    format-exact synthetic vocab files (the real GPT-2/BERT files are
+    fetched by scripts/fetch_vocabs.py — no egress in this image)."""
+
+    def _write_gpt2_files(self, tmp_path):
+        # a tiny byte-BPE vocab able to encode lowercase alnum words
+        import json as _json
+        from advancedliteratemachinery_tpu.codecs.subword import bytes_to_unicode
+        b2u = bytes_to_unicode()
+        base = [b2u[b] for b in range(256)]
+        merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o"),
+                  ("1", "2"), ("12", "3")]
+        vocab = {}
+        for i, t in enumerate(base):
+            vocab[t] = i
+        for a, b in merges:
+            vocab[a + b] = len(vocab)
+        vj = tmp_path / "vocab.json"
+        mt = tmp_path / "merges.txt"
+        vj.write_text(_json.dumps(vocab), encoding="utf-8")
+        mt.write_text("#version: 0.2\n" + "\n".join(
+            f"{a} {b}" for a, b in merges) + "\n", encoding="utf-8")
+        return str(vj), str(mt)
+
+    def test_bpe_from_files_round_trip(self, tmp_path):
+        from advancedliteratemachinery_tpu.codecs.subword import BpeCodec
+        vj, mt = self._write_gpt2_files(tmp_path)
+        codec = BpeCodec.from_files(vj, mt)
+        labels = ["hello", "123", "hello123", "x9z"]
+        ids = codec.encode(labels)
+        assert ids.shape == (4, codec.max_tokens)
+        for lab, row in zip(labels, ids):
+            # strip sos/eos/pad, decode back
+            body = [int(t) for t in row if t not in
+                    (codec.sos_id, codec.eos_id, codec.pad_id)]
+            assert codec.decode_ids(body) == lab
+
+    def test_bpe_merges_applied(self, tmp_path):
+        from advancedliteratemachinery_tpu.codecs.subword import BpeCodec
+        vj, mt = self._write_gpt2_files(tmp_path)
+        codec = BpeCodec.from_files(vj, mt)
+        # "hello" must collapse through he+ll -> hell -> hello (1 token)
+        assert len(codec.encode_text("hello")) == 1
+
+    def test_wordpiece_from_file_round_trip(self, tmp_path):
+        from advancedliteratemachinery_tpu.codecs.subword import WordpieceCodec
+        toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "##123",
+                "wor", "##ld", "a"]
+        vt = tmp_path / "vocab.txt"
+        vt.write_text("\n".join(toks) + "\n", encoding="utf-8")
+        codec = WordpieceCodec.from_file(str(vt))
+        assert codec.cls_id == 2 and codec.sep_id == 3 and codec.pad_id == 0
+        ids = codec.encode(["hello123", "world"])
+        texts = codec.decode(ids)
+        # decode renders specials literally (utils.py:81-88 semantics):
+        # prune at [SEP], strip the leading [CLS]
+        def body(t):
+            return t.split("[SEP]")[0].replace("[CLS]", "")
+        assert body(texts[0]) == "hello123"
+        assert body(texts[1]) == "world"
+
+    def test_default_loaders_give_actionable_error(self):
+        import pytest as _pytest
+        from advancedliteratemachinery_tpu.codecs.subword import (
+            BpeCodec, WordpieceCodec)
+        import os as _os
+        assets = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "advancedliteratemachinery_tpu",
+            "assets")
+        if _os.path.exists(_os.path.join(assets, "gpt2_vocab.json")):
+            assert BpeCodec.default() is not None
+        else:
+            with _pytest.raises(FileNotFoundError, match="fetch_vocabs"):
+                BpeCodec.default()
+        if _os.path.exists(_os.path.join(assets, "bert_base_uncased_vocab.txt")):
+            assert WordpieceCodec.default() is not None
+        else:
+            with _pytest.raises(FileNotFoundError, match="fetch_vocabs"):
+                WordpieceCodec.default()
