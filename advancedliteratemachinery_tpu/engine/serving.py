@@ -129,8 +129,9 @@ class SpottingDecodeServer:
     """
 
     def __init__(self, model, params, task: str = "rec", n_slots: int = 8,
-                 max_steps: int = 32, eos_id: int = 1, pad_id: int = 0,
-                 logit_mask=None, poll_ms: float = 2.0):
+                 max_steps: int = 32, eos_id: Optional[int] = 1,
+                 pad_id: int = 0, logit_mask=None, mask_fn=None,
+                 poll_ms: float = 2.0):
         import jax
         import jax.numpy as jnp
 
@@ -143,6 +144,10 @@ class SpottingDecodeServer:
         self.pad_id = pad_id
         self.poll = poll_ms / 1000.0
         self._logit_mask = logit_mask  # [num_classes] additive, e.g. -1e9
+        # step-dependent masking (e.g. OmniParser pt's coordinate/eos
+        # alternation, transformer.py:110-116): mask_fn(pos_vec [B],
+        # logits [B, V]) -> logits, traced into the tick graph
+        self._mask_fn = mask_fn
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -185,9 +190,12 @@ class SpottingDecodeServer:
                 if self._logit_mask is not None:
                     logits = logits + jnp.asarray(self._logit_mask,
                                                   logits.dtype)[None]
+                if self._mask_fn is not None:
+                    logits = self._mask_fn(state["pos"], logits)
                 tok = jnp.argmax(logits, -1).astype(jnp.int32)
                 was_finished = state["finished"]
-                finished = was_finished | (tok == eos_id)
+                finished = (was_finished if eos_id is None
+                            else was_finished | (tok == eos_id))
                 out_tok = jnp.where(was_finished, pad_id, tok)
                 emb, qpos = m.embedding.embed_at(out_tok[:, None], task,
                                                  state["pos"])
@@ -299,7 +307,7 @@ class SpottingDecodeServer:
                     done = True          # EOS was consumed on a prior tick
                 else:
                     tok = int(toks[i])
-                    if tok == self.eos_id:
+                    if self.eos_id is not None and tok == self.eos_id:
                         done = True
                     else:
                         slot["tokens"].append(tok)
@@ -308,3 +316,161 @@ class SpottingDecodeServer:
                 if done:
                     slot["future"].set_result(slot["tokens"])
                     self._slots[i] = None
+
+
+class SpottingService:
+    """Full OmniParser text-spotting as a continuously-batched service.
+
+    Wires the three decode stages the reference runs as sequential
+    per-request loops (transformer.py:235-289) through slot-based
+    cross-request servers: a jitted B=1 encoder, a `pt` server with the
+    coordinate/eos parity mask, then per-INSTANCE polygon and recognition
+    requests fanned into `poly`/`rec` servers. Unlike the static
+    `infer_spotting` graph (which pads to max_instances), the service
+    decodes exactly the detected instances — and instances from different
+    page requests share device ticks.
+
+    `submit(image)` → Future of {"points": [N,2] bin tokens,
+    "polygons": [N, poly_length] bins, "rec_tokens": [N, list]}.
+    """
+
+    def __init__(self, model, params, n_slots: int = 8,
+                 poll_ms: float = 1.0):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        self.params = params
+        c = model.config
+        v = c.vocab()
+        self.cfg = c
+        self.vocab = v
+        NEG = -1e9
+
+        def _encode(p, images):
+            return model.apply({"params": p}, images,
+                               method=lambda m, im: m.encode(im))
+
+        self._encode = jax.jit(_encode)
+
+        pt_prompt = list(v.pt_prompt(c.use_char_window_prompt))
+        self._pt_prompt = pt_prompt
+        P_pt = len(pt_prompt)
+
+        def pt_mask(pos, logits):
+            # step parity relative to the prompt end (model.infer_spotting
+            # pt_mask): even steps may emit coords or EOS, odd steps coords
+            step = pos - P_pt
+            ids = jnp.arange(logits.shape[-1])
+            coord = ids < c.num_bins
+            eos = ids == v.pt_eos_index
+            allow = jnp.where((step % 2 == 0)[:, None], (coord | eos)[None],
+                              coord[None])
+            return jnp.where(allow, logits, NEG)
+
+        ids = np.arange(v.num_classes)
+        poly_mask = np.where(ids < c.num_bins, 0.0, NEG).astype(np.float32)
+        rec_allow = ((ids >= c.num_bins) & (ids <= v.rec_eos_index)
+                     & (ids != v.pt_eos_index) & (ids != v.poly_eos_index))
+        rec_mask = np.where(rec_allow, 0.0, NEG).astype(np.float32)
+
+        self.pt_server = SpottingDecodeServer(
+            model, params, "pt", n_slots=n_slots, max_steps=c.pt_seq_length,
+            eos_id=v.pt_eos_index, pad_id=v.padding_index, mask_fn=pt_mask,
+            poll_ms=poll_ms)
+        self.poly_server = SpottingDecodeServer(
+            model, params, "poly", n_slots=n_slots * 4,
+            max_steps=c.poly_length, eos_id=None, pad_id=v.padding_index,
+            logit_mask=poly_mask, poll_ms=poll_ms)
+        self.rec_server = SpottingDecodeServer(
+            model, params, "rec", n_slots=n_slots * 4,
+            max_steps=c.rec_length, eos_id=v.rec_eos_index,
+            pad_id=v.padding_index, logit_mask=rec_mask, poll_ms=poll_ms)
+        self._started = False
+
+    def start(self) -> "SpottingService":
+        if not self._started:
+            self.pt_server.start()
+            self.poly_server.start()
+            self.rec_server.start()
+            self._started = True
+        return self
+
+    def stop(self) -> None:
+        self.pt_server.stop()
+        self.poly_server.stop()
+        self.rec_server.stop()
+
+    def submit(self, image: np.ndarray) -> Future:
+        """image [H, W, 3] (normalized float) → Future of the spotting
+        result dict. The pt→poly/rec fan-out runs in callbacks so many
+        pages can be in flight at once."""
+        memory, mem_pos, mem_valid = self._encode(self.params,
+                                                  np.asarray(image)[None])
+        memory, mem_pos, mem_valid = (np.asarray(memory)[0],
+                                      np.asarray(mem_pos)[0],
+                                      np.asarray(mem_valid)[0])
+        result: Future = Future()
+        pt_fut = self.pt_server.submit(memory, mem_pos, mem_valid,
+                                       np.asarray(self._pt_prompt, np.int32))
+
+        v = self.vocab
+
+        def on_pt(fut: Future) -> None:
+            try:
+                toks = [t for t in fut.result() if t != v.pt_eos_index]
+                pts = [(toks[i], toks[i + 1])
+                       for i in range(0, len(toks) - 1, 2)]
+                pts = pts[: self.cfg.max_instances]
+                if not pts:
+                    result.set_result({"points": np.zeros((0, 2), np.int32),
+                                       "polygons": [], "rec_tokens": []})
+                    return
+                poly_futs, rec_futs = [], []
+                for (x, y) in pts:
+                    poly_prompt = np.asarray([x, y, v.poly_sos_index],
+                                             np.int32)
+                    rec_prompt = np.asarray([x, y, v.rec_sos_index], np.int32)
+                    poly_futs.append(self.poly_server.submit(
+                        memory, mem_pos, mem_valid, poly_prompt))
+                    rec_futs.append(self.rec_server.submit(
+                        memory, mem_pos, mem_valid, rec_prompt))
+
+                remaining = {"n": 2 * len(pts)}
+                lock = threading.Lock()
+
+                def on_child(_):
+                    with lock:
+                        remaining["n"] -= 1
+                        if remaining["n"]:
+                            return
+                    try:
+                        result.set_result({
+                            "points": np.asarray(pts, np.int32),
+                            "polygons": [f.result() for f in poly_futs],
+                            "rec_tokens": [f.result() for f in rec_futs],
+                        })
+                    except Exception as e:      # pragma: no cover
+                        result.set_exception(e)
+
+                for f in poly_futs + rec_futs:
+                    f.add_done_callback(on_child)
+            except Exception as e:              # pragma: no cover
+                result.set_exception(e)
+
+        pt_fut.add_done_callback(on_pt)
+        return result
+
+    def __call__(self, images: Sequence[np.ndarray]) -> List[dict]:
+        futs = [self.submit(im) for im in images]
+        return [f.result(timeout=600) for f in futs]
+
+    @property
+    def occupancy(self) -> dict:
+        """Slot occupancy per stage: occupied_slot_ticks / (ticks*slots)."""
+        out = {}
+        for name, srv in (("pt", self.pt_server), ("poly", self.poly_server),
+                          ("rec", self.rec_server)):
+            t = srv.stats["ticks"] * srv.n_slots
+            out[name] = srv.stats["occupied_slot_ticks"] / t if t else 0.0
+        return out
