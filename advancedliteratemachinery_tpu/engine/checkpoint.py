@@ -1190,6 +1190,59 @@ def import_vgt(sd: Dict[str, np.ndarray], variables: Dict,
     return jax.tree.map(jnp.asarray, out)
 
 
+def import_vgt_cascade(sd: Dict[str, np.ndarray], variables: Dict,
+                       pooler_resolution: int = 7, **kw) -> Dict:
+    """Full VGTCascadeDetector (backbone + RPN + 3-stage cascade) from a
+    released VGT detectron2 checkpoint. Backbone via import_vgt; head keys:
+    `proposal_generator.rpn_head.{conv,objectness_logits,anchor_deltas}`
+    and `roi_heads.box_head.{i}.fc{1,2}` /
+    `roi_heads.box_predictor.{i}.{cls_score,bbox_pred}` (detectron2
+    CascadeROIHeads with FastRCNNConvFCHead + FastRCNNOutputLayers)."""
+    pr = jax.tree.map(np.asarray, variables["params"])
+    st = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+    bb_vars = {"params": pr["backbone"]}
+    if "backbone" in st:
+        bb_vars["batch_stats"] = st["backbone"]
+    imported_bb = import_vgt(sd, bb_vars, **kw)
+    pr["backbone"] = jax.tree.map(np.asarray, imported_bb["params"])
+    if "batch_stats" in imported_bb:
+        st["backbone"] = jax.tree.map(np.asarray, imported_bb["batch_stats"])
+
+    p = _TrackingDict(sd)
+    roi = pr["roi"]
+    rp = "proposal_generator.rpn_head."
+    for ours, theirs in (("conv", "conv"),
+                         ("objectness_logits", "objectness_logits"),
+                         ("anchor_deltas", "anchor_deltas")):
+        roi["rpn_head"][ours]["kernel"] = conv_kernel(p[rp + theirs + ".weight"])
+        roi["rpn_head"][ours]["bias"] = p[rp + theirs + ".bias"]
+    i = 0
+    r = pooler_resolution
+    while f"stage_{i}" in roi:
+        dst = roi[f"stage_{i}"]
+        # fc1 consumes the flattened pooled feature: torch flattens
+        # channel-major [C, r, r], ours row-major [r, r, C] — permute the
+        # input dimension of the weight accordingly
+        w1 = p[f"roi_heads.box_head.{i}.fc1.weight"]       # [fc, C*r*r]
+        fc = w1.shape[0]
+        C = w1.shape[1] // (r * r)
+        w1 = w1.reshape(fc, C, r, r).transpose(0, 2, 3, 1).reshape(fc, -1)
+        dst["fc1"]["kernel"] = w1.T
+        dst["fc1"]["bias"] = p[f"roi_heads.box_head.{i}.fc1.bias"]
+        for ours, theirs in (("fc2", f"roi_heads.box_head.{i}.fc2"),
+                             ("cls_score", f"roi_heads.box_predictor.{i}.cls_score"),
+                             ("bbox_pred", f"roi_heads.box_predictor.{i}.bbox_pred")):
+            dst[ours]["kernel"] = linear_kernel(p[theirs + ".weight"])
+            dst[ours]["bias"] = p[theirs + ".bias"]
+        i += 1
+
+    out = {"params": _validate_shapes(variables["params"], pr,
+                                      "import_vgt_cascade")}
+    if st:
+        out["batch_stats"] = st
+    return jax.tree.map(jnp.asarray, out)
+
+
 def _omni_decoder_layer(p: "_TrackingDict", dst: Dict, pre: str) -> None:
     """One DETR pre-norm decoder layer (reference model/transformer.py:380
     TransformerDecoderLayer): torch MultiheadAttention packs q|k|v rows in
@@ -1297,4 +1350,5 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "omniparser": import_omniparser,
     "lore_processor": import_lore_processor,
     "vgt": import_vgt,            # full variables (params + batch_stats)
+    "vgt_cascade": import_vgt_cascade,  # backbone + RPN + cascade head
 }

@@ -1,0 +1,314 @@
+"""Cascade R-CNN detection head (detectron2 semantics) for VGT.
+
+Behavioral parity target: the head the released VGT checkpoints ship
+(DocumentUnderstanding/VGT Configs/cascade/*.yaml: META_ARCHITECTURE "VGT"
+= GeneralizedRCNN over the VGT backbone, RPN over p2..p6 with one anchor
+size per level ([32..512] x aspects [0.5, 1, 2]), CascadeROIHeads over
+p2..p5 with 3 stages (IoUs 0.5/0.6/0.7), FastRCNNConvFCHead (2 FC 1024),
+CLS_AGNOSTIC_BBOX_REG=True, POOLER_RESOLUTION 7 with ROIAlignV2
+(aligned=True, adaptive sampling)).
+
+TPU-first shape discipline: every stage is fixed-size and masked —
+per-level top-k before NMS (PRE_NMS_TOPK_TEST=1000), a fixed proposal
+budget after NMS (POST_NMS_TOPK_TEST=1000), fixed per-class detection
+budget. detectron2's dynamic per-image box lists become [N, ...] arrays
+with validity masks; padding rows carry -inf scores so sorts and NMS
+ignore they exist.
+
+detectron2 references (public source):
+- Box2BoxTransform.apply_deltas: dx,dy scaled by box size, dw,dh clamped
+  at log(1000/16); weights (1,1,1,1) for RPN and
+  (10,10,5,5)/(20,20,10,10)/(30,30,15,15) for the 3 cascade stages.
+- DefaultAnchorGenerator: grid offset 0, base anchors w=sqrt(area/aspect).
+- find_top_rpn_proposals: per-level topk -> decode -> clip -> NMS(0.7)
+  jointly over levels -> keep POST_NMS_TOPK.
+- CascadeROIHeads inference: per-stage refined boxes feed the next stage;
+  final class scores = mean of the 3 stages' softmax scores on the LAST
+  stage's boxes; per-class NMS(0.5), SCORE_THRESH 0.05, top 100.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from advancedliteratemachinery_tpu.core.config import ConfigBase
+from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
+from advancedliteratemachinery_tpu.ops.nms import box_nms
+from advancedliteratemachinery_tpu.ops.roi_align import roi_align
+
+NEG = -1e9
+
+
+# ---------------- box transform (detectron2 Box2BoxTransform) -------------
+
+
+def apply_deltas(boxes: jnp.ndarray, deltas: jnp.ndarray,
+                 weights: Tuple[float, float, float, float]) -> jnp.ndarray:
+    """boxes [N,4] xyxy + deltas [N,4] → refined boxes (Box2BoxTransform
+    .apply_deltas: dw/dh clamped at log(1000/16))."""
+    wx, wy, ww, wh = weights
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    cx = boxes[:, 0] + 0.5 * w
+    cy = boxes[:, 1] + 0.5 * h
+    dx = deltas[:, 0] / wx
+    dy = deltas[:, 1] / wy
+    dw = jnp.minimum(deltas[:, 2] / ww, math.log(1000.0 / 16))
+    dh = jnp.minimum(deltas[:, 3] / wh, math.log(1000.0 / 16))
+    pcx = dx * w + cx
+    pcy = dy * h + cy
+    pw = jnp.exp(dw) * w
+    ph = jnp.exp(dh) * h
+    return jnp.stack([pcx - 0.5 * pw, pcy - 0.5 * ph,
+                      pcx + 0.5 * pw, pcy + 0.5 * ph], axis=1)
+
+
+def clip_boxes(boxes: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    h, w = hw
+    return jnp.stack([jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
+                      jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)],
+                     axis=1)
+
+
+# ---------------- anchors (detectron2 DefaultAnchorGenerator) -------------
+
+
+def base_anchors(size: float, aspects: Sequence[float]) -> np.ndarray:
+    """[A, 4] centered at origin: w = sqrt(area/aspect), h = w*aspect."""
+    out = []
+    area = size * size
+    for a in aspects:
+        w = math.sqrt(area / a)
+        h = w * a
+        out.append([-w / 2.0, -h / 2.0, w / 2.0, h / 2.0])
+    return np.asarray(out, np.float32)
+
+
+def grid_anchors(feat_hw: Tuple[int, int], stride: int, size: float,
+                 aspects: Sequence[float]) -> np.ndarray:
+    """[H*W*A, 4] anchors for one level (grid offset 0 — detectron2's
+    default ANCHOR_GENERATOR.OFFSET=0.0)."""
+    H, W = feat_hw
+    base = base_anchors(size, aspects)                     # [A, 4]
+    sx = np.arange(W, dtype=np.float32) * stride
+    sy = np.arange(H, dtype=np.float32) * stride
+    shift_x, shift_y = np.meshgrid(sx, sy)
+    shifts = np.stack([shift_x.ravel(), shift_y.ravel(),
+                       shift_x.ravel(), shift_y.ravel()], axis=1)  # [HW, 4]
+    return (shifts[:, None, :] + base[None, :, :]).reshape(-1, 4)
+
+
+# ---------------- RPN ----------------
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv + objectness / anchor-delta 1x1s (detectron2
+    StandardRPNHead)."""
+
+    num_anchors: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray]):
+        p = self.policy
+        conv = nn.Conv(feats[0].shape[-1], (3, 3), padding="SAME",
+                       dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                       name="conv")
+        obj = nn.Conv(self.num_anchors, (1, 1), dtype=p.compute_dtype,
+                      param_dtype=p.param_dtype, name="objectness_logits")
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=p.compute_dtype,
+                         param_dtype=p.param_dtype, name="anchor_deltas")
+        outs = []
+        for f in feats:
+            t = nn.relu(conv(f))
+            outs.append((obj(t).astype(jnp.float32),
+                         deltas(t).astype(jnp.float32)))
+        return outs
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeConfig(ConfigBase):
+    num_classes: int = 5
+    anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)
+    aspects: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    strides: Tuple[int, ...] = (4, 8, 16, 32, 64)          # p2..p6
+    pre_nms_topk: int = 1000                               # per level (test)
+    post_nms_topk: int = 1000
+    rpn_nms_thresh: float = 0.7
+    pooler_resolution: int = 7
+    fc_dim: int = 1024
+    stage_weights: Tuple[Tuple[float, float, float, float], ...] = (
+        (10.0, 10.0, 5.0, 5.0), (20.0, 20.0, 10.0, 10.0),
+        (30.0, 30.0, 15.0, 15.0))
+    score_thresh: float = 0.05
+    final_nms_thresh: float = 0.5
+    detections_per_image: int = 100
+
+
+class CascadeBoxHead(nn.Module):
+    """FastRCNNConvFCHead (2 FC) + FastRCNNOutputLayers (cls + class-
+    agnostic bbox) for one cascade stage."""
+
+    num_classes: int
+    fc_dim: int = 1024
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.policy
+        d = dict(dtype=p.compute_dtype, param_dtype=p.param_dtype)
+        x = nn.relu(nn.Dense(self.fc_dim, **d, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, **d, name="fc2")(x))
+        scores = nn.Dense(self.num_classes + 1, **d, name="cls_score")(x)
+        deltas = nn.Dense(4, **d, name="bbox_pred")(x)  # CLS_AGNOSTIC
+        return scores.astype(jnp.float32), deltas.astype(jnp.float32)
+
+
+def assign_pyramid_level(boxes: jnp.ndarray, k_min: int = 2, k_max: int = 5,
+                         canonical: float = 224.0, canonical_level: int = 4
+                         ) -> jnp.ndarray:
+    """detectron2 assign_boxes_to_levels: floor(k0 + log2(sqrt(area)/224))."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * \
+        jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    lvl = jnp.floor(canonical_level +
+                    jnp.log2(jnp.sqrt(area) / canonical + 1e-8))
+    return jnp.clip(lvl, k_min, k_max).astype(jnp.int32) - k_min
+
+
+def multilevel_roi_align(feats: List[jnp.ndarray], boxes: jnp.ndarray,
+                         strides: Sequence[int], resolution: int
+                         ) -> jnp.ndarray:
+    """ROIAlignV2 pooling with per-box level assignment over p2..p5.
+    feats: list of [1, H, W, C]; boxes [N, 4] image coords → [N, r, r, C].
+
+    Fixed-shape approach: pool every box on EVERY level, then select by
+    the assigned level — 4x the FLOPs of the dynamic gather detectron2
+    does, but one static XLA graph (pooling cost is negligible next to the
+    backbone)."""
+    lvl = assign_pyramid_level(boxes)
+    pooled = []
+    for i, (f, s) in enumerate(zip(feats, strides)):
+        pooled.append(roi_align(f, boxes[None], (resolution, resolution),
+                                spatial_scale=1.0 / s, sampling_ratio=-1,
+                                aligned=True)[0])
+    stacked = jnp.stack(pooled, 0)                         # [L, N, r, r, C]
+    return jnp.take_along_axis(
+        stacked, lvl[None, :, None, None, None], axis=0)[0]
+
+
+class CascadeRCNN(nn.Module):
+    """RPN + 3-stage cascade over a {p2..p6} pyramid (inference path).
+
+    Call with the backbone pyramid and the padded image size; returns
+    fixed-size detections + validity mask. B=1 (detectron2 eval is
+    per-image too)."""
+
+    config: CascadeConfig = CascadeConfig()
+    policy: Policy = DEFAULT_POLICY
+
+    def setup(self):
+        c = self.config
+        self.rpn_head = RPNHead(len(c.aspects), policy=self.policy)
+        self.stages = [CascadeBoxHead(c.num_classes, c.fc_dim,
+                                      policy=self.policy,
+                                      name=f"stage_{i}")
+                       for i in range(len(c.stage_weights))]
+
+    def proposals(self, pyramid: Dict[str, jnp.ndarray],
+                  image_hw: Tuple[int, int]):
+        """→ (boxes [P, 4], logits [P]) with P = post_nms_topk; padding
+        rows carry -inf logits."""
+        c = self.config
+        levels = [pyramid[k] for k in ("p2", "p3", "p4", "p5", "p6")]
+        outs = self.rpn_head(levels)
+        all_boxes, all_scores = [], []
+        for (obj, deltas), f, stride, size in zip(
+                outs, levels, c.strides, c.anchor_sizes):
+            H, W = f.shape[1], f.shape[2]
+            A = len(c.aspects)
+            anchors = jnp.asarray(grid_anchors((H, W), stride, size, c.aspects))
+            logits = obj[0].reshape(-1)                    # [H*W*A]
+            dl = deltas[0].reshape(-1, 4)
+            k = min(c.pre_nms_topk, logits.shape[0])
+            top, idx = jax.lax.top_k(logits, k)
+            boxes = apply_deltas(anchors[idx], dl[idx], (1.0, 1.0, 1.0, 1.0))
+            boxes = clip_boxes(boxes, image_hw)
+            # filter empty boxes (detectron2 min box size 0)
+            valid = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+            all_boxes.append(boxes)
+            all_scores.append(jnp.where(valid, top, NEG))
+        boxes = jnp.concatenate(all_boxes, 0)
+        scores = jnp.concatenate(all_scores, 0)
+        keep = box_nms(boxes, scores, c.rpn_nms_thresh)
+        scores = jnp.where(keep, scores, NEG)
+        P = c.post_nms_topk
+        top, idx = jax.lax.top_k(scores, min(P, scores.shape[0]))
+        return boxes[idx], top
+
+    def __call__(self, pyramid: Dict[str, jnp.ndarray],
+                 image_hw: Tuple[int, int]) -> Dict[str, jnp.ndarray]:
+        c = self.config
+        boxes, prop_logits = self.proposals(pyramid, image_hw)
+        valid = prop_logits > NEG / 2
+        feats = [pyramid[k] for k in ("p2", "p3", "p4", "p5")]
+
+        stage_scores = []
+        for stage, weights in zip(self.stages, c.stage_weights):
+            pooled = multilevel_roi_align(feats, boxes, c.strides[:4],
+                                          c.pooler_resolution)
+            flat = pooled.reshape(pooled.shape[0], -1)
+            scores, deltas = stage(flat)
+            stage_scores.append(jax.nn.softmax(scores, -1))
+            boxes = clip_boxes(apply_deltas(boxes, deltas, weights), image_hw)
+        # cascade inference: mean of per-stage softmax scores on the final
+        # boxes (detectron2 CascadeROIHeads._run_stage aggregation)
+        mean_scores = sum(stage_scores) / len(stage_scores)   # [P, K+1]
+        cls_scores = mean_scores[:, :-1]                      # drop background
+        cls_scores = jnp.where(valid[:, None], cls_scores, 0.0)
+
+        # final per-class NMS: offset boxes per class (batched_nms trick)
+        K = c.num_classes
+        P = boxes.shape[0]
+        flat_scores = cls_scores.T.reshape(-1)                # [K*P]
+        flat_boxes = jnp.tile(boxes, (K, 1))
+        cls_ids = jnp.repeat(jnp.arange(K), P)
+        off = cls_ids.astype(jnp.float32) * (max(image_hw) + 2.0)
+        nms_boxes = flat_boxes + off[:, None]
+        cand = flat_scores > c.score_thresh
+        nms_scores = jnp.where(cand, flat_scores, NEG)
+        keep = box_nms(nms_boxes, nms_scores, c.final_nms_thresh)
+        final = jnp.where(keep & cand, flat_scores, NEG)
+        D = c.detections_per_image
+        top, idx = jax.lax.top_k(final, min(D, final.shape[0]))
+        return {
+            "boxes": flat_boxes[idx],
+            "scores": jnp.where(top > NEG / 2, top, 0.0),
+            "classes": cls_ids[idx],
+            "valid": top > NEG / 2,
+        }
+
+
+class VGTCascadeDetector(nn.Module):
+    """Faithful end-to-end VGT: two-stream backbone + GridFPN + Cascade
+    R-CNN head (ditod/VGT.py:34 GeneralizedRCNN composition)."""
+
+    backbone_config: "object" = None      # VGTConfig
+    cascade_config: CascadeConfig = CascadeConfig()
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, images, grid_ids, train: bool = False):
+        from advancedliteratemachinery_tpu.models.vgt import VGTBackbone
+
+        pyramid = VGTBackbone(self.backbone_config, policy=self.policy,
+                              name="backbone")(images, grid_ids, train=train)
+        head = CascadeRCNN(self.cascade_config, policy=self.policy,
+                           name="roi")
+        return head(pyramid, (images.shape[1], images.shape[2]))

@@ -144,3 +144,35 @@ def soft_nms_scores(boxes: jnp.ndarray, scores: jnp.ndarray,
         return jnp.where(lower, s * decay, s)
 
     return jax.lax.fori_loop(0, K, body, scores)
+
+
+def box_iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Axis-aligned IoU matrix [N, N] for boxes [N, 4] (x1, y1, x2, y2)."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def box_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float = 0.5
+            ) -> jnp.ndarray:
+    """Greedy axis-aligned NMS, jit-safe fixed shape: returns a bool keep
+    mask [N] (torchvision.ops.nms semantics — iterate by descending score,
+    suppress IoU > thr). Padding rows should carry score -inf."""
+    N = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    iou = box_iou_matrix(b)
+
+    def body(i, keep):
+        sup = (iou[i] > iou_thr) & (jnp.arange(N) > i) & keep[i]
+        return keep & ~sup
+
+    keep_sorted = jax.lax.fori_loop(0, N, body, jnp.ones((N,), bool))
+    keep = jnp.zeros((N,), bool).at[order].set(keep_sorted)
+    return keep

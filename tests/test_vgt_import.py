@@ -342,3 +342,90 @@ class TestCrossBlockParity:
                                    rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(np.asarray(got_g), want_g.numpy(),
                                    rtol=2e-3, atol=2e-3)
+
+
+class TestCascadeImport:
+    """import_vgt_cascade: RPN + 3-stage head weights from detectron2 key
+    layout, incl. the fc1 channel-major→row-major flatten permutation."""
+
+    def _torch_head_sd(self, C, r, fc, K):
+        torch.manual_seed(3)
+        sd = {}
+        conv = nn.Conv2d(FPN_DIM, FPN_DIM, 3, padding=1)
+        obj = nn.Conv2d(FPN_DIM, 3, 1)
+        dl = nn.Conv2d(FPN_DIM, 12, 1)
+        sd.update({f"proposal_generator.rpn_head.conv.weight": conv.weight,
+                   f"proposal_generator.rpn_head.conv.bias": conv.bias,
+                   f"proposal_generator.rpn_head.objectness_logits.weight": obj.weight,
+                   f"proposal_generator.rpn_head.objectness_logits.bias": obj.bias,
+                   f"proposal_generator.rpn_head.anchor_deltas.weight": dl.weight,
+                   f"proposal_generator.rpn_head.anchor_deltas.bias": dl.bias})
+        heads = []
+        for i in range(3):
+            fc1 = nn.Linear(C * r * r, fc)
+            fc2 = nn.Linear(fc, fc)
+            cls = nn.Linear(fc, K + 1)
+            bb = nn.Linear(fc, 4)
+            heads.append((fc1, fc2, cls, bb))
+            sd.update({f"roi_heads.box_head.{i}.fc1.weight": fc1.weight,
+                       f"roi_heads.box_head.{i}.fc1.bias": fc1.bias,
+                       f"roi_heads.box_head.{i}.fc2.weight": fc2.weight,
+                       f"roi_heads.box_head.{i}.fc2.bias": fc2.bias,
+                       f"roi_heads.box_predictor.{i}.cls_score.weight": cls.weight,
+                       f"roi_heads.box_predictor.{i}.cls_score.bias": cls.bias,
+                       f"roi_heads.box_predictor.{i}.bbox_pred.weight": bb.weight,
+                       f"roi_heads.box_predictor.{i}.bbox_pred.bias": bb.bias})
+        return {k: v.detach().numpy() for k, v in sd.items()}, heads
+
+    def test_full_detector_import_and_stage_parity(self, imported):
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            import_vgt_cascade)
+        from advancedliteratemachinery_tpu.models.rcnn import (
+            CascadeConfig, VGTCascadeDetector)
+        from advancedliteratemachinery_tpu.models.vgt import VGTConfig
+
+        tm, _, _ = imported      # reuse the backbone mirror's state dict
+        bb_sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        r, fc, K = 3, 24, 4
+        head_sd, heads = self._torch_head_sd(FPN_DIM, r, fc, K)
+        sd = {**bb_sd, **head_sd}
+
+        bcfg = VGTConfig(img_size=(64, 64), patch_size=16, embed_dim=D,
+                         self_depth=DEPTH, cross_depth=0, num_heads=H,
+                         grid_embedding_dim=GDIM, vocab_size=VOCAB,
+                         out_indices=OUT_IDX, fpn_dim=FPN_DIM)
+        ccfg = CascadeConfig(num_classes=K, pre_nms_topk=32, post_nms_topk=16,
+                             detections_per_image=8, fc_dim=fc,
+                             pooler_resolution=r)
+        det = VGTCascadeDetector(bcfg, ccfg, policy=FP32_POLICY)
+        imgs = jnp.zeros((1, 64, 64, 3))
+        grid = jnp.zeros((1, 64, 64), jnp.int32)
+        variables = det.init(jax.random.PRNGKey(0), imgs, grid)
+        variables = import_vgt_cascade(
+            {k: np.asarray(v) for k, v in sd.items()},
+            jax.tree.map(np.asarray, variables), pooler_resolution=r)
+
+        # stage head parity: torch fc-stack on channel-major flatten ==
+        # ours on row-major flatten of the same pooled feature
+        from advancedliteratemachinery_tpu.models.rcnn import CascadeBoxHead
+        rng = np.random.default_rng(5)
+        pooled = rng.standard_normal((2, r, r, FPN_DIM)).astype(np.float32)
+        for i, (fc1, fc2, cls, bb) in enumerate(heads):
+            with torch.no_grad():
+                t_in = torch.from_numpy(
+                    pooled.transpose(0, 3, 1, 2).reshape(2, -1))
+                h = torch.relu(fc2(torch.relu(fc1(t_in))))
+                want_s, want_d = cls(h).numpy(), bb(h).numpy()
+            head = CascadeBoxHead(K, fc, policy=FP32_POLICY)
+            sub = variables["params"]["roi"][f"stage_{i}"]
+            got_s, got_d = head.apply({"params": sub},
+                                      jnp.asarray(pooled.reshape(2, -1)))
+            np.testing.assert_allclose(np.asarray(got_s), want_s,
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(got_d), want_d,
+                                       rtol=1e-4, atol=1e-4)
+
+        # end-to-end inference runs on imported weights
+        out = det.apply(variables, imgs, grid)
+        assert out["boxes"].shape == (8, 4)
+        assert np.isfinite(np.asarray(out["scores"])).all()
