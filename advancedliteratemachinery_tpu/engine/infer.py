@@ -19,6 +19,11 @@ from advancedliteratemachinery_tpu.codecs.char_codec import CharCodec
 from advancedliteratemachinery_tpu.ops.image import normalize_crops
 
 
+# per-head EOS token ids (reference utils.py TokenLabelConverter: char [s]=1,
+# GPT-2 BPE eos=2 in the MGP-STR layout, BERT [SEP]=102)
+EOS_IDS = {"char": 1, "bpe": 2, "wp": 102}
+
+
 class MGPSTRInference:
     """Greedy multi-granularity inference for MGP-STR.
 
@@ -28,8 +33,12 @@ class MGPSTRInference:
     """
 
     def __init__(self, model, params, codec: CharCodec,
-                 bpe_codec=None, wp_codec=None, input_dtype=jnp.bfloat16):
+                 bpe_codec=None, wp_codec=None, input_dtype=jnp.bfloat16,
+                 fused_decode: str = "auto"):
         import dataclasses as _dc
+
+        from advancedliteratemachinery_tpu.ops.vocab_decode import (
+            matmul_greedy_decode, supports_fused_decode)
 
         # inference policy: keep logits in the compute dtype — the decode
         # reductions upcast to fp32 themselves, and a [B, 27, 50304] fp32
@@ -51,17 +60,60 @@ class MGPSTRInference:
         cfg = model.config
         true_vocab = {"char": cfg.num_char_classes, "bpe": cfg.bpe_vocab_size,
                       "wp": cfg.wp_vocab_size}
+        heads = tuple(cfg.heads)
+
+        def _use_fused(head: str) -> bool:
+            """Fuse the vocab matmul + greedy decode (ops/vocab_decode.py)
+            for the large-vocab heads: the [B, T, 50k] logits tensor never
+            touches HBM. Small char vocab stays on the XLA path."""
+            if fused_decode == "never":
+                return False
+            pv = cfg.padded_vocab(true_vocab[head])
+            if fused_decode == "interpret":   # CPU test hook
+                return pv >= 1024
+            return supports_fused_decode(cfg.vit_config().embed_dim, pv)
+
+        interp = fused_decode == "interpret"
+        fused_heads = tuple(h for h in heads if _use_fused(h))
+        self._fused_heads = fused_heads
+
+        def _decode_all(params, x):
+            """Normalized images → per-head (ids, conf). Shared by the
+            batched engine and the e2e spotting pipeline."""
+            out = model.apply({"params": params}, x, deterministic=True,
+                              decode_tokens=bool(fused_heads))
+            res = {}
+            for head in heads:
+                if head in fused_heads:
+                    tok = out[head][:, 1:, :]             # drop [GO] position
+                    B, T, D = tok.shape
+                    hp = params[f"{head}_head"]
+                    ids, pmax = matmul_greedy_decode(
+                        tok.reshape(B * T, D), hp["kernel"], hp["bias"],
+                        true_vocab[head], interpret=interp)
+                    ids = ids.reshape(B, T)
+                    pmax = pmax.reshape(B, T)
+                    conf = self._conf_from_pmax(ids, pmax, EOS_IDS[head])
+                elif bool(fused_heads):
+                    # model returned tokens; apply the small head inline
+                    tok = out[head]
+                    hp = params[f"{head}_head"]
+                    logits = (tok @ hp["kernel"].astype(tok.dtype)
+                              + hp["bias"].astype(tok.dtype))
+                    ids, conf = self._head_decode(logits, head, true_vocab[head])
+                else:
+                    ids, conf = self._head_decode(out[head], head,
+                                                  true_vocab[head])
+                res[f"{head}_ids"] = ids
+                res[f"{head}_conf"] = conf
+            return res
+
+        self._decode_all = _decode_all
 
         @jax.jit
         def _run(params, images_u8):
             x = normalize_crops(images_u8, dtype=input_dtype)
-            out = model.apply({"params": params}, x, deterministic=True)
-            res = {}
-            for head in ("char", "bpe", "wp"):
-                ids, conf = self._head_decode(out[head], head, true_vocab[head])
-                res[f"{head}_ids"] = ids
-                res[f"{head}_conf"] = conf
-            return res
+            return _decode_all(params, x)
 
         self._run = _run
 
@@ -75,7 +127,6 @@ class MGPSTRInference:
         Implemented as max/argmax/logsumexp reductions over the logits —
         never materializing the [B, T, 50k] probability tensor the
         reference's softmax+max does (test_final.py:150-152)."""
-        eos_id = {"char": 1, "bpe": 2, "wp": 102}[head]
         if logits.shape[-1] > true_vocab:
             pad_mask = jnp.arange(logits.shape[-1]) >= true_vocab
             logits = jnp.where(pad_mask, -jnp.inf, logits)
@@ -84,12 +135,20 @@ class MGPSTRInference:
         lmax = jnp.max(logits.astype(jnp.float32), axis=-1)
         lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
         pmax = jnp.exp(lmax - lse)
+        conf = MGPSTRInference._conf_from_pmax(pred, pmax, EOS_IDS[head])
+        return pred, conf
+
+    @staticmethod
+    def _conf_from_pmax(pred: jnp.ndarray, pmax: jnp.ndarray, eos_id: int
+                        ) -> jnp.ndarray:
+        """Cumulative max-prob confidence up to the first EOS; 0 when the
+        sequence never emits EOS (test_final.py:176-200 semantics)."""
         is_eos = pred == eos_id
         any_eos = jnp.any(is_eos, axis=1)
         eos_pos = jnp.argmax(is_eos, axis=1)
         pos = jnp.arange(pred.shape[1])[None, :]
         conf = jnp.prod(jnp.where(pos <= eos_pos[:, None], pmax, 1.0), axis=1)
-        return pred, jnp.where(any_eos, conf, 0.0)
+        return jnp.where(any_eos, conf, 0.0)
 
     def __call__(self, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
         """images_u8: [B, 32, 128, 3] uint8 → dict of np arrays."""

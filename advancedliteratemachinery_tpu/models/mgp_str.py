@@ -121,14 +121,19 @@ class MGPSTR(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, images, deterministic: bool = True, return_attn: bool = False
-                 ) -> Dict[str, jnp.ndarray]:
+    def __call__(self, images, deterministic: bool = True, return_attn: bool = False,
+                 decode_tokens: bool = False) -> Dict[str, jnp.ndarray]:
         """images: [B, 32, 128, 3] normalized to [-1, 1].
 
         Returns dict of logits: char [B,T,C], bpe [B,T,~50257], wp
         [B,T,~30522] (float32, vocab dims padded per `vocab_pad_multiple`
         with -inf-equivalent masking applied downstream), plus attention
         maps if return_attn.
+
+        decode_tokens=True returns the post-TokenLearner tokens [B, T, D]
+        per head instead of logits (the head Dense is skipped) — the
+        inference engine then fuses the vocab matmul with greedy decode
+        (ops/vocab_decode.py) so the [B, T, 50k] logits never hit HBM.
         """
         cfg = self.config
         p = self.policy
@@ -146,9 +151,13 @@ class MGPSTR(nn.Module):
         for name, vocab in heads:
             attn, tokens = TokenLearner(cfg.max_tokens, policy=p,
                                         name=f"{name}_token_learner")(feats)
-            logits = nn.Dense(vocab, dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                              name=f"{name}_head")(tokens)
-            out[name] = logits.astype(p.output_dtype)
+            if decode_tokens and not self.is_initializing():
+                out[name] = tokens
+            else:
+                logits = nn.Dense(vocab, dtype=p.compute_dtype,
+                                  param_dtype=p.param_dtype,
+                                  name=f"{name}_head")(tokens)
+                out[name] = logits.astype(p.output_dtype)
             if return_attn:
                 out[f"{name}_attn"] = attn
         return out

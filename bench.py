@@ -85,11 +85,7 @@ def e2e_spotting_bench(rec_model, rec_engine):
     pages_dev = jnp.asarray(pages)
 
     rec_params = rec_engine.params
-    head_decode = rec_engine._head_decode
-    cfg = rec_model.config
-    true_vocab = {"char": cfg.num_char_classes, "bpe": cfg.bpe_vocab_size,
-                  "wp": cfg.wp_vocab_size}
-    model = rec_engine.model  # bf16-logit inference variant
+    decode_all = rec_engine._decode_all   # fused vocab-decode path on TPU
 
     @jax.jit
     def e2e(det_vars, rec_params, pages_u8, quads):
@@ -104,13 +100,9 @@ def e2e_spotting_bench(rec_model, rec_engine):
         # patch-slice + separable MXU resample, ops/image.py crop_rects)
         crops = crop_rects(pages_u8, quads, out_hw=crop_hw)
         crops = crops.reshape(P * K, crop_hw[0], crop_hw[1], 3)
-        # stage 3: recognition + greedy decode
-        out = model.apply({"params": rec_params}, crops, deterministic=True)
-        res = {"det_scores": scores}
-        for head in ("char", "bpe", "wp"):
-            ids, conf = head_decode(out[head], head, true_vocab[head])
-            res[f"{head}_ids"] = ids
-            res[f"{head}_conf"] = conf
+        # stage 3: recognition + fused greedy decode
+        res = dict(decode_all(rec_params, crops))
+        res["det_scores"] = scores
         return res
 
     out = e2e(det_vars, rec_params, pages_dev, quads_dev)

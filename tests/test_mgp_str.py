@@ -89,3 +89,29 @@ class TestTokenLearner:
 
         np.testing.assert_allclose(np.asarray(tokens)[0], tok, rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(attn)[0], a.T, rtol=2e-4, atol=2e-4)
+
+
+class TestFusedDecodeEquivalence:
+    """Engine fused vocab-decode path (interpret-mode Pallas) must match
+    the XLA logits path bit-for-bit on ids and closely on confidences."""
+
+    def test_engine_paths_agree(self, tiny_model_and_params):
+        from advancedliteratemachinery_tpu.codecs.char_codec import CharCodec
+        from advancedliteratemachinery_tpu.engine.infer import MGPSTRInference
+
+        model, params = tiny_model_and_params
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 256, (3, 32, 128, 3), dtype=np.uint8)
+
+        base = MGPSTRInference(model, params, CharCodec(),
+                               input_dtype=jnp.float32, fused_decode="never")
+        fused = MGPSTRInference(model, params, CharCodec(),
+                                input_dtype=jnp.float32,
+                                fused_decode="interpret")
+        assert set(fused._fused_heads) == {"bpe", "wp"}
+        a = base(images)
+        b = fused(images)
+        for head in ("char", "bpe", "wp"):
+            np.testing.assert_array_equal(a[f"{head}_ids"], b[f"{head}_ids"])
+            np.testing.assert_allclose(a[f"{head}_conf"], b[f"{head}_conf"],
+                                       rtol=1e-4, atol=1e-5)
