@@ -232,6 +232,21 @@ class LORE(nn.Module):
             res["corner_scores"] = corners["scores"]
         return res
 
+    def init_full(self, rng, image_shape: Tuple[int, int] = (512, 512)):
+        """Initialize the COMPLETE variable tree (backbone + processor).
+
+        The default ``__call__`` never touches the processor, so a plain
+        ``model.init(rng, images)`` silently yields a params tree that makes
+        a later ``infer``/``train_logic`` fail with a missing-submodule
+        error. Always init through this helper:
+
+            model = LORE(cfg)
+            variables = model.init_full(jax.random.PRNGKey(0))
+        """
+        h, w = image_shape
+        x = jnp.zeros((1, h, w, 3), jnp.float32)
+        return self.init(rng, x, method=LORE.infer)
+
     def train_logic(self, images, ct_inds, ct_mask, gt_boxes=None
                     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         """Training path for the processor: gather ax features at GT center

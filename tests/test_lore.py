@@ -138,3 +138,13 @@ class TestLoreLosses:
         mask = jnp.ones((1, 2))
         # sum |2| * 8 / (4 * 2) = 2.0
         assert float(axis_loss(pred, mask, target)) == pytest.approx(2.0, rel=1e-3)
+
+
+class TestInitFull:
+    def test_init_full_covers_processor(self):
+        model = LORE(TINY_LORE, policy=FP32_POLICY)
+        vars_ = model.init_full(jax.random.PRNGKey(0), image_shape=(64, 64))
+        assert "processor" in vars_["params"]
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+        out = model.apply(vars_, x, method=model.infer)
+        assert np.isfinite(np.asarray(out["logic"])).all()
