@@ -89,39 +89,85 @@ class LlamaBlock(nn.Module):
     cfg: TRCGConfig
     policy: Policy = DEFAULT_POLICY
 
-    @nn.compact
-    def __call__(self, x, positions, causal_bias):
-        cfg = self.cfg
-        p = self.policy
+    def setup(self):
+        cfg, p = self.cfg, self.policy
         D = cfg.hidden_size
+        self.attn_norm = nn.RMSNorm(dtype=jnp.float32,
+                                    param_dtype=p.param_dtype)
+        self.q_proj = LoRADense(D, cfg.lora_rank, cfg.lora_alpha,
+                                use_bias=False, policy=p)
+        self.k_proj = LoRADense(D, cfg.lora_rank, cfg.lora_alpha,
+                                use_bias=False, policy=p)
+        self.v_proj = LoRADense(D, cfg.lora_rank, cfg.lora_alpha,
+                                use_bias=False, policy=p)
+        self.o_proj = nn.Dense(D, use_bias=False, dtype=p.compute_dtype,
+                               param_dtype=p.param_dtype)
+        self.ffn_norm = nn.RMSNorm(dtype=jnp.float32,
+                                   param_dtype=p.param_dtype)
+        self.gate_proj = nn.Dense(4 * D, use_bias=False,
+                                  dtype=p.compute_dtype,
+                                  param_dtype=p.param_dtype)
+        self.up_proj = nn.Dense(4 * D, use_bias=False, dtype=p.compute_dtype,
+                                param_dtype=p.param_dtype)
+        self.down_proj = nn.Dense(D, use_bias=False, dtype=p.compute_dtype,
+                                  param_dtype=p.param_dtype)
+
+    def _qkv(self, h, positions):
+        cfg = self.cfg
         H = cfg.heads
-        hd = D // H
-        h = nn.RMSNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
-                       name="attn_norm")(x).astype(p.compute_dtype)
-        q = LoRADense(D, cfg.lora_rank, cfg.lora_alpha, use_bias=False,
-                      policy=p, name="q_proj")(h).reshape(*h.shape[:2], H, hd)
-        k = LoRADense(D, cfg.lora_rank, cfg.lora_alpha, use_bias=False,
-                      policy=p, name="k_proj")(h).reshape(*h.shape[:2], H, hd)
-        v = LoRADense(D, cfg.lora_rank, cfg.lora_alpha, use_bias=False,
-                      policy=p, name="v_proj")(h).reshape(*h.shape[:2], H, hd)
-        q = rotary(q, positions)
-        k = rotary(k, positions)
+        hd = cfg.hidden_size // H
+        q = self.q_proj(h).reshape(*h.shape[:2], H, hd)
+        k = self.k_proj(h).reshape(*h.shape[:2], H, hd)
+        v = self.v_proj(h).reshape(*h.shape[:2], H, hd)
+        return rotary(q, positions), rotary(k, positions), v
+
+    def _mlp(self, x):
+        h = self.ffn_norm(x).astype(self.policy.compute_dtype)
+        return x + self.down_proj(nn.silu(self.gate_proj(h)) * self.up_proj(h))
+
+    def __call__(self, x, positions, causal_bias):
+        hd = self.cfg.hidden_size // self.cfg.heads
+        h = self.attn_norm(x).astype(self.policy.compute_dtype)
+        q, k, v = self._qkv(h, positions)
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (hd ** 0.5) + causal_bias
         a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(*h.shape[:2], D)
-        x = x + nn.Dense(D, use_bias=False, dtype=p.compute_dtype,
-                         param_dtype=p.param_dtype, name="o_proj")(o)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(*h.shape[:2], -1)
+        x = x + self.o_proj(o)
+        return self._mlp(x)
 
-        h = nn.RMSNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
-                       name="ffn_norm")(x).astype(p.compute_dtype)
-        gate = nn.Dense(4 * D, use_bias=False, dtype=p.compute_dtype,
-                        param_dtype=p.param_dtype, name="gate_proj")(h)
-        up = nn.Dense(4 * D, use_bias=False, dtype=p.compute_dtype,
-                      param_dtype=p.param_dtype, name="up_proj")(h)
-        h = nn.Dense(D, use_bias=False, dtype=p.compute_dtype,
-                     param_dtype=p.param_dtype, name="down_proj")(
-            nn.silu(gate) * up)
-        return x + h
+    def prefill(self, x, positions, causal_bias, cache_len: int):
+        """Causal pass that also returns the KV cache padded to cache_len.
+        → (out [B,T,D], (k_cache, v_cache) [B,cache_len,H,hd])."""
+        hd = self.cfg.hidden_size // self.cfg.heads
+        h = self.attn_norm(x).astype(self.policy.compute_dtype)
+        q, k, v = self._qkv(h, positions)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (hd ** 0.5) + causal_bias
+        a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(*h.shape[:2], -1)
+        x = x + self.o_proj(o)
+        pad = cache_len - k.shape[1]
+        kc = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        vc = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return self._mlp(x), (kc, vc)
+
+    def step(self, x_t, caches, pos_idx):
+        """One incremental decode step. x_t [B,1,D]; pos_idx scalar int —
+        the absolute position of this token. Cache slots >= pos_idx are
+        masked out of the softmax."""
+        hd = self.cfg.hidden_size // self.cfg.heads
+        kc, vc = caches
+        h = self.attn_norm(x_t).astype(self.policy.compute_dtype)
+        pos = jnp.full((x_t.shape[0], 1), pos_idx)
+        q, k_t, v_t = self._qkv(h, pos)
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k_t, pos_idx, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v_t, pos_idx, axis=1)
+        L = kc.shape[1]
+        bias = jnp.where(jnp.arange(L) <= pos_idx, 0.0, -1e9)[None, None, None]
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, kc) / (hd ** 0.5) + bias
+        a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, vc).reshape(*x_t.shape[:2], -1)
+        x_t = x_t + self.o_proj(o)
+        return self._mlp(x_t), (kc, vc)
 
 
 @MODELS.register("trcg")
@@ -129,37 +175,115 @@ class TRCG(nn.Module):
     config: TRCGConfig = TRCGConfig()
     policy: Policy = DEFAULT_POLICY
 
-    @nn.compact
+    def setup(self):
+        cfg, p = self.config, self.policy
+        self.vision_tower = VisionTransformer(cfg.vision, policy=p)
+        self.mm_projector_fc1 = nn.Dense(cfg.hidden_size,
+                                         dtype=p.compute_dtype,
+                                         param_dtype=p.param_dtype)
+        self.mm_projector_fc2 = nn.Dense(cfg.hidden_size,
+                                         dtype=p.compute_dtype,
+                                         param_dtype=p.param_dtype)
+        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                                     param_dtype=p.param_dtype)
+        self.layers = [LlamaBlock(cfg, policy=p, name=f"layer_{i}")
+                       for i in range(cfg.num_layers)]
+        self.final_norm = nn.RMSNorm(dtype=jnp.float32,
+                                     param_dtype=p.param_dtype)
+        self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                dtype=p.compute_dtype,
+                                param_dtype=p.param_dtype)
+
+    def _prefix(self, images, input_ids, deterministic):
+        """Image tokens prepended to the embedded text (llava_arch.py
+        prepare_inputs_for_multimodal)."""
+        vis = self.vision_tower(images, deterministic=deterministic)[:, 1:]
+        vis = self.mm_projector_fc2(_gelu(self.mm_projector_fc1(vis)))
+        tok = self.embed_tokens(input_ids)
+        return jnp.concatenate([vis, tok.astype(vis.dtype)], axis=1)
+
+    def _head(self, x):
+        x = self.final_norm(x).astype(self.policy.compute_dtype)
+        return self.lm_head(x).astype(jnp.float32)
+
     def __call__(self, images, input_ids, deterministic: bool = True
                  ) -> jnp.ndarray:
         """images [B,H,W,3]; input_ids [B,T] → logits [B, n_img + T, vocab].
-        Image tokens are prepended (llava_arch.py prepare_inputs_for_
-        multimodal) — label positions for them should be -100."""
-        cfg = self.config
-        p = self.policy
-        vis = VisionTransformer(cfg.vision, policy=p, name="vision_tower")(
-            images, deterministic=deterministic)[:, 1:]   # drop cls
-        vis = nn.Dense(cfg.hidden_size, dtype=p.compute_dtype,
-                       param_dtype=p.param_dtype, name="mm_projector_fc1")(vis)
-        vis = _gelu(vis)
-        vis = nn.Dense(cfg.hidden_size, dtype=p.compute_dtype,
-                       param_dtype=p.param_dtype, name="mm_projector_fc2")(vis)
-
-        tok = nn.Embed(cfg.vocab_size, cfg.hidden_size,
-                       param_dtype=p.param_dtype, name="embed_tokens")(input_ids)
-        x = jnp.concatenate([vis, tok.astype(vis.dtype)], axis=1)
+        Image token label positions should be -100."""
+        x = self._prefix(images, input_ids, deterministic)
         B, T, _ = x.shape
         positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
-        causal = jnp.tril(jnp.ones((T, T), bool))
-        bias = jnp.where(causal, 0.0, -1e9)[None, None]
+        bias = jnp.where(jnp.tril(jnp.ones((T, T), bool)), 0.0, -1e9)[None, None]
+        for layer in self.layers:
+            x = layer(x, positions, bias)
+        return self._head(x)
 
-        for i in range(cfg.num_layers):
-            x = LlamaBlock(cfg, policy=p, name=f"layer_{i}")(x, positions, bias)
-        x = nn.RMSNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
-                       name="final_norm")(x).astype(p.compute_dtype)
-        return nn.Dense(cfg.vocab_size, use_bias=False, dtype=p.compute_dtype,
-                        param_dtype=p.param_dtype,
-                        name="lm_head")(x).astype(jnp.float32)
+    def prefill(self, images, input_ids, cache_len: int):
+        """Prompt pass (image prefix + instruction). Returns (last-position
+        logits [B, vocab], caches, prefix_len)."""
+        x = self._prefix(images, input_ids, deterministic=True)
+        B, T, _ = x.shape
+        positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+        bias = jnp.where(jnp.tril(jnp.ones((T, T), bool)), 0.0, -1e9)[None, None]
+        caches = []
+        for layer in self.layers:
+            x, c = layer.prefill(x, positions, bias, cache_len)
+            caches.append(c)
+        return self._head(x[:, -1:])[:, 0], tuple(caches), T
+
+    def decode_step(self, token_ids, caches, pos_idx):
+        """token_ids [B] → (logits [B, vocab], updated caches)."""
+        x = self.embed_tokens(token_ids[:, None]).astype(
+            self.policy.compute_dtype)
+        new_caches = []
+        for layer, c in zip(self.layers, caches):
+            x, c = layer.step(x, c, pos_idx)
+            new_caches.append(c)
+        return self._head(x)[:, 0], tuple(new_caches)
+
+
+def trcg_generate(model: TRCG, variables, images, input_ids,
+                  max_new_tokens: int = 64, eos_id: int = 2,
+                  temperature: float = 0.0,
+                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """KV-cached autoregressive generation (inference.py:169
+    model.generate(use_cache=True) equivalent) as one jitted
+    prefill + `lax.scan` decode.
+
+    Greedy when temperature == 0, else temperature sampling. Returns
+    [B, max_new_tokens] int32; positions after EOS are padded with eos_id
+    (KeywordsStoppingCriteria analog — fixed-shape early-exit masking).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    cache_len = input_ids.shape[1] + model.config.vision.num_patches \
+        + max_new_tokens
+
+    logits0, caches, prefix_len = model.apply(
+        variables, images, input_ids, cache_len, method=TRCG.prefill)
+
+    def sample(logits, key):
+        if temperature > 0:
+            return jax.random.categorical(key, logits / temperature, -1)
+        return jnp.argmax(logits, -1)
+
+    k0, rng = jax.random.split(rng)
+    tok0 = sample(logits0, k0).astype(jnp.int32)
+    done0 = tok0 == eos_id
+
+    def body(carry, key):
+        tok, done, caches, pos = carry
+        logits, caches = model.apply(variables, tok, caches, pos,
+                                     method=TRCG.decode_step)
+        nxt = sample(logits, key).astype(jnp.int32)
+        nxt = jnp.where(done, eos_id, nxt)
+        done = done | (nxt == eos_id)
+        return (nxt, done, caches, pos + 1), nxt
+
+    keys = jax.random.split(rng, max_new_tokens - 1)
+    (_, _, _, _), toks = jax.lax.scan(
+        body, (tok0, done0, caches, prefix_len), keys)
+    return jnp.concatenate([tok0[None], toks], axis=0).swapaxes(0, 1)
 
 
 def trcg_loss(logits: jnp.ndarray, input_ids: jnp.ndarray, n_image_tokens: int,

@@ -128,3 +128,47 @@ class TestTRCG:
         np.testing.assert_array_equal(np.asarray(base), np.asarray(base2))
         assert not np.allclose(np.asarray(params["layer_0"]["q_proj"]["lora_B"]),
                                np.asarray(p2["layer_0"]["q_proj"]["lora_B"]))
+
+
+class TestTRCGGenerate:
+    """KV-cached scan generation == naive full-forward greedy rollout
+    (reference inference.py:169 model.generate(use_cache=True))."""
+
+    def test_cached_equals_naive_greedy(self):
+        from advancedliteratemachinery_tpu.models.trcg import trcg_generate
+
+        m = TRCG(TINY_TRCG, policy=FP32_POLICY)
+        rng = np.random.default_rng(3)
+        imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+        ids = jnp.asarray(rng.integers(3, 120, (2, 6)))
+        params = m.init(jax.random.PRNGKey(0), imgs, ids)["params"]
+
+        max_new = 5
+        got = trcg_generate(m, {"params": params}, imgs, ids,
+                            max_new_tokens=max_new, eos_id=2)
+
+        # naive rollout: re-run the full forward each step
+        cur = ids
+        naive = []
+        for _ in range(max_new):
+            logits = m.apply({"params": params}, imgs, cur)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            naive.append(nxt)
+            cur = jnp.concatenate([cur, nxt[:, None]], axis=1)
+        naive = jnp.stack(naive, axis=1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(naive))
+
+    def test_eos_padding(self):
+        from advancedliteratemachinery_tpu.models.trcg import trcg_generate
+
+        m = TRCG(TINY_TRCG, policy=FP32_POLICY)
+        imgs = jnp.zeros((1, 32, 32, 3))
+        ids = jnp.asarray([[5, 6]])
+        params = m.init(jax.random.PRNGKey(0), imgs, ids)["params"]
+        out = np.asarray(trcg_generate(m, {"params": params}, imgs, ids,
+                                       max_new_tokens=8, eos_id=2))
+        # once EOS appears every later position must be EOS
+        for row in out:
+            hit = np.where(row == 2)[0]
+            if hit.size:
+                assert (row[hit[0]:] == 2).all()
