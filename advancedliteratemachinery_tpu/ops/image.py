@@ -165,3 +165,4 @@ def resize_word_crops(
                          antialias=antialias)
     x = x * (2.0 / 255.0) - 1.0
     return x.astype(dtype)
+

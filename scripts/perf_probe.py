@@ -4,6 +4,11 @@ plus optional jax.profiler trace capture.
 Usage: python scripts/perf_probe.py [--trace DIR] [--batches 256,512]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 
