@@ -19,6 +19,11 @@ from advancedliteratemachinery_tpu.models.lister_baselines import (  # noqa: F40
 from advancedliteratemachinery_tpu.models.lore import LORE  # noqa: F401
 from advancedliteratemachinery_tpu.models.mgp_str import MGPSTR, MGPSTRConfig  # noqa: F401
 from advancedliteratemachinery_tpu.models.omniparser import OmniParser  # noqa: F401
+from advancedliteratemachinery_tpu.models.rcnn import (  # noqa: F401
+    CascadeRCNN,
+    VGTCascadeDetector,
+)
+from advancedliteratemachinery_tpu.models.trcg import TRCG, trcg_generate  # noqa: F401
 from advancedliteratemachinery_tpu.models.swin import SwinTransformer  # noqa: F401
 from advancedliteratemachinery_tpu.models.vgt import VGTBackbone  # noqa: F401
 from advancedliteratemachinery_tpu.models.vit import VisionTransformer, ViTConfig  # noqa: F401

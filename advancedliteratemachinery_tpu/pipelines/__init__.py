@@ -18,10 +18,14 @@ from advancedliteratemachinery_tpu.pipelines.document import (
     GeneralTextReading,
     TableParsing,
 )
+from advancedliteratemachinery_tpu.pipelines.scenevtg import (
+    SceneVTGProposer,
+    bezier_to_polygon,
+)
 
 __all__ = [
     "FormulaRecognition", "LayoutAnalysis", "TableStructureRecognition", "TextDetection",
     "TextRecognition", "crop_image", "order_point",
-    "DocumentStructurization", "GeneralTextReading", "TableParsing",
+    "DocumentStructurization", "SceneVTGProposer", "bezier_to_polygon", "GeneralTextReading", "TableParsing",
     "convert_document", "load_document", "load_image", "load_pdf",
 ]
