@@ -117,6 +117,44 @@ def e2e_spotting_bench(rec_model, rec_engine):
     return P * K * iters / dt
 
 
+def train_bench():
+    """MGP-STR-base train-step throughput (fwd+bwd+adamw, bf16 compute,
+    batch 128) on the single-chip (1,1,1) mesh — the same pjit step that
+    scales over dp/fsdp/tp axes (dryrun_multichip)."""
+    from advancedliteratemachinery_tpu.engine.train import (
+        TrainState, make_mgp_str_train_step, make_optimizer)
+    from advancedliteratemachinery_tpu.models.mgp_str import MGPSTR, MGPSTRConfig
+    from advancedliteratemachinery_tpu.parallel.mesh import create_mesh
+
+    model = MGPSTR(MGPSTRConfig(variant="base"))
+    mesh = create_mesh(data=1, fsdp=1, model=1)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 128, 3), jnp.float32))["params"]
+    state = TrainState.create(params, make_optimizer(lr=1e-4,
+                                                     total_steps=1000,
+                                                     grad_clip=5.0))
+    step, _ = make_mgp_str_train_step(model, state, mesh, donate=True)
+
+    B, T = 128, 27
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((B, 32, 128, 3)),
+                              jnp.float32),
+        "char_ids": jnp.asarray(rng.integers(0, 38, (B, T)), jnp.int32),
+        "bpe_ids": jnp.asarray(rng.integers(0, 50257, (B, T)), jnp.int32),
+        "wp_ids": jnp.asarray(rng.integers(0, 30522, (B, T)), jnp.int32),
+    }
+    key = jax.random.PRNGKey(1)
+    state, m = step(state, batch, key)
+    np.asarray(m["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, key)
+    np.asarray(m["loss"])
+    return B * iters / (time.perf_counter() - t0)
+
+
 def main():
     baseline = 2000.0
     rec_ips, (model, engine) = rec_only_bench()
@@ -125,6 +163,13 @@ def main():
         "value": round(rec_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(rec_ips / baseline, 3),
+    }))
+    train_ips = train_bench()
+    print(json.dumps({
+        "metric": "mgp_str_base_train_step_throughput",
+        "value": round(train_ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,   # the reference publishes no train throughput
     }))
     e2e_ips = e2e_spotting_bench(model, engine)
     print(json.dumps({
