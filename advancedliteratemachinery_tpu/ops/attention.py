@@ -87,6 +87,23 @@ def _choose_group(batch: int, seq: int, dim: int) -> int:
     return 0
 
 
+def _einsum_attention_from_qkv(qkv: jnp.ndarray, num_heads: int,
+                               scale: float) -> jnp.ndarray:
+    """Reference einsum formulation on the same [B, S, 3D] input — the
+    numerics oracle and the recompute path for the custom VJP."""
+    B, S, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, S, num_heads, hd)
+    k = k.reshape(B, S, num_heads, hd)
+    v = v.reshape(B, S, num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, S, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int,
                         scale: Optional[float] = None, safe: bool = True,
                         interpret: bool = False) -> jnp.ndarray:
@@ -95,6 +112,11 @@ def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int,
     qkv: [B, S, 3*D] in timm layout (q rows | k rows | v rows — the layout
     `nn.Dense(3*D)` with imported timm weights produces). Returns [B, S, D].
     Use `supports_fused_qkv` to check shape eligibility first.
+
+    Differentiable: the backward pass recomputes attention through the
+    einsum formulation and uses its VJP (flash-attention-style recompute —
+    Pallas kernels have no automatic reverse rule), so the same module
+    works in train and inference graphs.
     """
     B, S, threeD = qkv.shape
     D = threeD // 3
@@ -122,6 +144,21 @@ def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int,
             transcendentals=B * num_heads * S * S,
         ),
     )(qkv)
+
+
+def _fused_qkv_fwd(qkv, num_heads, scale, safe, interpret):
+    return fused_qkv_attention(qkv, num_heads, scale, safe, interpret), qkv
+
+
+def _fused_qkv_bwd(num_heads, scale, safe, interpret, qkv, g):
+    if scale is None:
+        scale = (qkv.shape[-1] // 3 // num_heads) ** -0.5
+    _, vjp = jax.vjp(
+        lambda t: _einsum_attention_from_qkv(t, num_heads, float(scale)), qkv)
+    return (vjp(g)[0],)
+
+
+fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
 
 
 def supports_fused_qkv(batch: int, seq: int, dim: int, num_heads: int) -> bool:
