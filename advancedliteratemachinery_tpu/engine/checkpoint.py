@@ -562,6 +562,94 @@ def import_dla(sd: Dict[str, np.ndarray], variables: Dict,
     return jax.tree.map(jnp.asarray, _validate_shapes(variables, out, "import_dla"))
 
 
+def import_docxlayout(sd: Dict[str, np.ndarray], variables: Dict,
+                      prefix: str = "") -> Dict:
+    """Map the released DocXLayout checkpoint (DocXLayout_231012.pth —
+    reference DocumentUnderstanding/DocXLayout/models/networks/
+    dlav0_subfield.py DLASeg) onto our DocXLayout variables (DLASegV0:
+    v0 neck — proj conv1x1+BN, fixed-bilinear grouped ConvTranspose ups,
+    concat-node conv3x3+BN; no DCN). Shares the DLA trunk key layout with
+    import_dla; neck keys are `dla_up.ida_{i}.{proj,up,node}_{j}.*` with
+    torch Sequential indices (.0 conv / .1 bn)."""
+    out = jax.tree.map(np.asarray, variables)
+    pr, st = out["params"], out["batch_stats"]
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
+
+    def bn(dst_p, dst_s, t):
+        dst_p["scale"] = p[t + ".weight"]
+        dst_p["bias"] = p[t + ".bias"]
+        dst_s["mean"] = p[t + ".running_mean"]
+        dst_s["var"] = p[t + ".running_var"]
+
+    def cbr(dst_p, dst_s, tconv, tbn):
+        dst_p["conv"]["kernel"] = conv_kernel(p[tconv + ".weight"])
+        bn(dst_p["bn"], dst_s["bn"], tbn)
+
+    def basic_block(dst_p, dst_s, pre):
+        cbr(dst_p["conv1"], dst_s["conv1"], pre + ".conv1", pre + ".bn1")
+        cbr(dst_p["conv2"], dst_s["conv2"], pre + ".conv2", pre + ".bn2")
+
+    def tree(dst_p, dst_s, pre):
+        if pre + ".conv1.weight" in p:
+            basic_block(dst_p, dst_s, pre)
+            return
+        if pre + ".project.0.weight" in p:
+            cbr(dst_p["project"], dst_s["project"],
+                pre + ".project.0", pre + ".project.1")
+        if pre + ".root.conv.weight" in p:
+            cbr(dst_p["root"]["conv"], dst_s["root"]["conv"],
+                pre + ".root.conv", pre + ".root.bn")
+        tree(dst_p["tree1"], dst_s["tree1"], pre + ".tree1")
+        tree(dst_p["tree2"], dst_s["tree2"], pre + ".tree2")
+
+    bbp, bbs = pr["backbone"], st["backbone"]
+    base_p, base_s = bbp["base"], bbs["base"]
+    cbr(base_p["base_layer"], base_s["base_layer"],
+        "base.base_layer.0", "base.base_layer.1")
+    cbr(base_p["level0"], base_s["level0"], "base.level0.0", "base.level0.1")
+    cbr(base_p["level1"], base_s["level1"], "base.level1.0", "base.level1.1")
+    for lv in range(2, 6):
+        tree(base_p[f"level{lv}"], base_s[f"level{lv}"], f"base.level{lv}")
+
+    i = 0
+    while any(k.startswith(f"dla_up.ida_{i}.") for k in p):
+        dst_p = bbp["dla_up"][f"ida_{i}"]
+        dst_s = bbs["dla_up"][f"ida_{i}"]
+        pre = f"dla_up.ida_{i}"
+        j = 0
+        while (f"{pre}.proj_{j}.0.weight" in p
+               or f"{pre}.up_{j}.weight" in p
+               or f"{pre}.node_{j}.0.weight" in p or j == 0):
+            if f"{pre}.proj_{j}.0.weight" in p:
+                cbr(dst_p[f"proj_{j}"], dst_s[f"proj_{j}"],
+                    f"{pre}.proj_{j}.0", f"{pre}.proj_{j}.1")
+            if f"{pre}.up_{j}.weight" in p:
+                # grouped ConvTranspose2d weight [C, 1, k, k] -> [k, k, C]
+                dst_p[f"up_{j}"]["kernel"] = np.transpose(
+                    p[f"{pre}.up_{j}.weight"][:, 0], (1, 2, 0))
+            if f"{pre}.node_{j}.0.weight" in p:
+                cbr(dst_p[f"node_{j}"], dst_s[f"node_{j}"],
+                    f"{pre}.node_{j}.0", f"{pre}.node_{j}.1")
+            j += 1
+            if j > 16:
+                break
+        i += 1
+
+    heads = sorted({k.split(".")[0] for k in p
+                    if k.endswith(".0.weight")
+                    and k.split(".")[0] + "_conv1" in bbp})
+    for head in heads:
+        bbp[f"{head}_conv1"]["kernel"] = conv_kernel(p[head + ".0.weight"])
+        bbp[f"{head}_conv1"]["bias"] = p[head + ".0.bias"]
+        bbp[f"{head}_out"]["kernel"] = conv_kernel(p[head + ".2.weight"])
+        bbp[f"{head}_out"]["bias"] = p[head + ".2.bias"]
+
+    _warn_unused(p, "import_docxlayout")
+    return jax.tree.map(jnp.asarray,
+                        _validate_shapes(variables, out, "import_docxlayout"))
+
+
 def import_abinet_vision(sd: Dict[str, np.ndarray], variables: Dict,
                          prefix: str = "vision.") -> Dict:
     """Map LevOCR's BaseVision (reference OCR/LevOCR/abinet: resnet.py:50
@@ -1351,4 +1439,5 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "lore_processor": import_lore_processor,
     "vgt": import_vgt,            # full variables (params + batch_stats)
     "vgt_cascade": import_vgt_cascade,  # backbone + RPN + cascade head
+    "docxlayout": import_docxlayout,  # released DocXLayout_231012.pth
 }

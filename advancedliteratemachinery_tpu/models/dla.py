@@ -320,3 +320,137 @@ class DLASeg(nn.Module):
                         name=f"{head}_out")(h)
             out[head] = h.astype(jnp.float32)
         return out
+
+
+# ---------------- DLA-v0 neck (DocXLayout) ----------------
+# Reference DocumentUnderstanding/DocXLayout/models/networks/
+# dlav0_subfield.py: IDAUp (:PROJ conv1x1+BN+ReLU / identity, UP fixed-
+# bilinear grouped ConvTranspose / identity, NODE conv3x3 on concat
+# +BN+ReLU) and DLAUp composing IDAUp stages. Unlike the pose_dla_dcn
+# neck above there is no deformable conv anywhere, projection applies to
+# EVERY input level (including the first), and nodes consume the
+# CONCATENATION of the running aggregate with the next level.
+
+
+class ProjV0(nn.Module):
+    """conv1x1 (no bias) + BN + ReLU (dlav0 IDAUp proj)."""
+
+    features: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.policy
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         dtype=jnp.float32, param_dtype=p.param_dtype,
+                         name="bn")(x)
+        return nn.relu(x).astype(p.compute_dtype)
+
+
+class NodeV0(nn.Module):
+    """conv3x3 (no bias) over channel-concat + BN + ReLU (dlav0 node)."""
+
+    features: int
+    kernel: int = 3
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.policy
+        k = self.kernel
+        x = nn.Conv(self.features, (k, k), use_bias=False,
+                    padding=[(k // 2, k // 2)] * 2, dtype=p.compute_dtype,
+                    param_dtype=p.param_dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         dtype=jnp.float32, param_dtype=p.param_dtype,
+                         name="bn")(x)
+        return nn.relu(x).astype(p.compute_dtype)
+
+
+class IDAUpV0(nn.Module):
+    """dlav0 IDAUp: project+upsample every level, then chain concat-nodes.
+    Returns (final aggregate, list of node outputs)."""
+
+    out_channels: int
+    in_channels: Tuple[int, ...]
+    up_factors: Tuple[int, ...]
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, layers, train: bool = False):
+        layers = list(layers)
+        for i, (c, f) in enumerate(zip(self.in_channels, self.up_factors)):
+            x = layers[i]
+            if c != self.out_channels:
+                x = ProjV0(self.out_channels, policy=self.policy,
+                           name=f"proj_{i}")(x, train)
+            if int(f) != 1:
+                x = UpsampleBilinear(int(f), name=f"up_{i}")(x)
+            layers[i] = x
+        x = layers[0]
+        ys = []
+        for i in range(1, len(layers)):
+            x = NodeV0(self.out_channels, policy=self.policy,
+                       name=f"node_{i}")(
+                jnp.concatenate([x, layers[i]], axis=-1), train)
+            ys.append(x)
+        return x, ys
+
+
+class DLAUpV0(nn.Module):
+    """dlav0 DLAUp: iteratively aggregate the pyramid down to the first
+    level's resolution; returns the final aggregate map."""
+
+    channels: Tuple[int, ...]
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, layers, train: bool = False):
+        channels = list(self.channels)
+        scales = [2 ** i for i in range(len(channels))]
+        in_ch = list(channels)
+        layers = list(layers)
+        x = layers[-1]
+        for i in range(len(channels) - 1):
+            j = -i - 2
+            ida = IDAUpV0(channels[j], tuple(in_ch[j:]),
+                          tuple(s // scales[j] for s in scales[j:]),
+                          policy=self.policy, name=f"ida_{i}")
+            x, ys = ida(layers[j:], train=train)
+            layers[j + 1:] = ys
+            scales[j + 1:] = [scales[j]] * len(scales[j + 1:])
+            in_ch[j + 1:] = [channels[j]] * len(in_ch[j + 1:])
+        return x
+
+
+class DLASegV0(nn.Module):
+    """dlav0_subfield DLASeg: DLA trunk -> DLAUpV0 -> per-task heads
+    (conv3x3 + ReLU + conv1x1; hm* heads bias-init -2.19)."""
+
+    config: DLASegConfig = DLASegConfig()
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        p = self.policy
+        first = int(math.log2(cfg.down_ratio))
+        feats = DLA(cfg.dla, policy=p, name="base")(x, train)
+        feat = DLAUpV0(tuple(cfg.dla.channels[first:]), policy=p,
+                       name="dla_up")(feats[first:], train=train)
+        out = {}
+        for head, classes in cfg.heads:
+            h = nn.Conv(cfg.head_conv, (3, 3), padding=1,
+                        dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                        name=f"{head}_conv1")(feat)
+            h = nn.relu(h)
+            bias_init = (nn.initializers.constant(-2.19) if "hm" in head
+                         else nn.initializers.zeros)
+            h = nn.Conv(classes, (1, 1), dtype=p.compute_dtype,
+                        param_dtype=p.param_dtype, bias_init=bias_init,
+                        name=f"{head}_out")(h)
+            out[head] = h.astype(jnp.float32)
+        return out

@@ -1,10 +1,13 @@
 """DocXLayout: two-level document layout analysis (CenterNet, inference).
 
 Behavioral parity target (reference DocumentUnderstanding/DocXLayout):
-- DLA CenterNet with dual head groups — layout level {hm, cls(13),
+- DLA-v0 CenterNet (models/networks/dlav0_subfield.py: plain conv neck
+  with concat-nodes, NO deformable conv — faithfully DLASegV0 in
+  models/dla.py) with dual head groups — layout level {hm, cls(13),
   ftype, wh(8), reg(2)} and subfield level {hm_sub, wh_sub, reg_sub}
-  (detectors/ctdet_subfield.py:26 process; models/networks/
-  dlav0_subfield.py), both decoded with the 4-point decode.
+  (detectors/ctdet_subfield.py:26 process), both decoded with the
+  4-point decode. The released DocXLayout_231012.pth maps onto this via
+  engine/checkpoint.py import_docxlayout.
 - Predictor output shape matches main.py:85 DocXLayoutPredictor.predict /
   wrapper.py:186 wrap_result: per-detection {category_id, poly, score},
   plus subfield dets; reading-order sorting lives in
@@ -24,7 +27,8 @@ from flax import linen as nn
 from advancedliteratemachinery_tpu.core.config import ConfigBase
 from advancedliteratemachinery_tpu.core.precision import Policy, DEFAULT_POLICY
 from advancedliteratemachinery_tpu.core.registry import MODELS
-from advancedliteratemachinery_tpu.models.dla import DLASeg, DLASegConfig, DLAConfig
+from advancedliteratemachinery_tpu.models.dla import (DLASegV0, DLASegConfig,
+                                                      DLAConfig)
 from advancedliteratemachinery_tpu.ops.heatmap import ctdet_4ps_decode, sigmoid_clamped
 
 
@@ -55,7 +59,7 @@ class DocXLayout(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     def setup(self):
-        self.backbone = DLASeg(self.config.seg_config(), policy=self.policy)
+        self.backbone = DLASegV0(self.config.seg_config(), policy=self.policy)
 
     def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
         return self.backbone(images, train=train)
