@@ -650,6 +650,47 @@ def import_docxlayout(sd: Dict[str, np.ndarray], variables: Dict,
                         _validate_shapes(variables, out, "import_docxlayout"))
 
 
+def import_webrpg_vae(sd: Dict[str, np.ndarray], variables: Dict,
+                      prefix: str = "") -> Dict:
+    """Map the released WebRPG element VAE (reference baselines_model/
+    vae.py:35 VAE: dimension_reduction/encoder_input Sequentials,
+    encoder/decoder stacks of [Linear, LayerNorm], enc_mu/enc_logvar,
+    final_layer/final_layer2) onto ElementVAE variables ({"params"})."""
+    pr = jax.tree.map(np.asarray, variables["params"])
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
+
+    def lin(dst, t):
+        dst["kernel"] = linear_kernel(p[t + ".weight"])
+        dst["bias"] = p[t + ".bias"]
+
+    def ln(dst, t):
+        dst["scale"] = p[t + ".weight"]
+        dst["bias"] = p[t + ".bias"]
+
+    lin(pr["dimension_reduction"], "dimension_reduction.0")
+    lin(pr["encoder_input"], "encoder_input.0")
+    i = 0
+    while f"encoder.{i}.0.weight" in p:
+        lin(pr[f"enc_stack_{i}"], f"encoder.{i}.0")
+        ln(pr[f"enc_norms_{i}"], f"encoder.{i}.1")
+        i += 1
+    lin(pr["enc_mu"], "enc_mu")
+    lin(pr["enc_logvar"], "enc_logvar")
+    i = 0
+    while f"decoder.{i}.0.weight" in p:
+        lin(pr[f"dec_stack_{i}"], f"decoder.{i}.0")
+        ln(pr[f"dec_norms_{i}"], f"decoder.{i}.1")
+        i += 1
+    lin(pr["final_layer"], "final_layer.0")
+    lin(pr["final_layer2"], "final_layer2")
+
+    _warn_unused(p, "import_webrpg_vae")
+    return {"params": jax.tree.map(
+        jnp.asarray,
+        _validate_shapes(variables["params"], pr, "import_webrpg_vae"))}
+
+
 def import_abinet_vision(sd: Dict[str, np.ndarray], variables: Dict,
                          prefix: str = "vision.") -> Dict:
     """Map LevOCR's BaseVision (reference OCR/LevOCR/abinet: resnet.py:50
@@ -1440,4 +1481,5 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "vgt": import_vgt,            # full variables (params + batch_stats)
     "vgt_cascade": import_vgt_cascade,  # backbone + RPN + cascade head
     "docxlayout": import_docxlayout,  # released DocXLayout_231012.pth
+    "webrpg_vae": import_webrpg_vae,  # released element VAE
 }
