@@ -162,6 +162,75 @@ def cmd_structurize(args) -> int:
     return 0
 
 
+def cmd_table(args) -> int:
+    """Table parsing: LORE cells + logical coords, DB det + MGP-STR rec per
+    cell → HTML (reference DocXChain example.py table_parsing_example)."""
+    from advancedliteratemachinery_tpu.pipelines.document import TableParsing
+    from advancedliteratemachinery_tpu.pipelines.modules import (
+        TableStructureRecognition,
+        TextDetection,
+        TextRecognition,
+    )
+
+    engine = _mgp_engine(args)
+    pipe = TableParsing(TableStructureRecognition(_lore_table_fn(args)),
+                        TextDetection(_db_detect_fn(args)),
+                        TextRecognition(engine.recognize))
+    out = pipe(_load_image(args.image))
+    print(json.dumps(out, indent=2, default=float))
+    return 0
+
+
+def _lore_table_fn(args):
+    import jax
+
+    from advancedliteratemachinery_tpu.models.lore import (
+        LORE,
+        LoreConfig,
+        make_table_predict_fn,
+    )
+
+    model = LORE(LoreConfig())
+    variables = model.init_full(jax.random.PRNGKey(0), image_shape=(512, 512))
+    if getattr(args, "ckpt", None):
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            restore_checkpoint)
+        variables = restore_checkpoint(args.ckpt, variables)
+    return make_table_predict_fn(model, variables,
+                                 score_thresh=args.det_thresh)
+
+
+def cmd_convert(args) -> int:
+    """Whole-document (image or PDF) conversion → per-page JSON
+    (reference example.py:164 whole_pdf_conversion_example)."""
+    import numpy as np
+
+    from advancedliteratemachinery_tpu.pipelines.document import (
+        DocumentStructurization,
+        convert_document,
+    )
+    from advancedliteratemachinery_tpu.pipelines.modules import (
+        LayoutAnalysis,
+        TextDetection,
+        TextRecognition,
+    )
+
+    engine = _mgp_engine(args)
+
+    def whole_page_layout(image):
+        h, w = image.shape[:2]
+        return (np.asarray([[0, 0, w, 0, w, h, 0, h]], np.float32),
+                np.asarray([1.0]), np.asarray([2]))
+
+    pipe = DocumentStructurization(
+        LayoutAnalysis(whole_page_layout),
+        TextDetection(_db_detect_fn(args)),
+        TextRecognition(engine.recognize))
+    pages = convert_document(args.document, pipe, dpi=args.dpi)
+    print(json.dumps(pages, indent=2, default=float))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -273,7 +342,8 @@ def main(argv=None) -> int:
         p.add_argument("--torch-ckpt")
 
     for name, help_ in (("read", "detect + recognize full image"),
-                        ("structurize", "document structurization → JSON")):
+                        ("structurize", "document structurization → JSON"),
+                        ("table", "table parsing → cells + HTML")):
         p = sub.add_parser(name, help=help_)
         p.add_argument("image")
         p.add_argument("--variant", default="tiny",
@@ -281,6 +351,16 @@ def main(argv=None) -> int:
         p.add_argument("--ckpt")
         p.add_argument("--torch-ckpt")
         p.add_argument("--det-thresh", type=float, default=0.3)
+
+    p = sub.add_parser("convert",
+                       help="whole image/PDF document → per-page JSON")
+    p.add_argument("document")
+    p.add_argument("--variant", default="tiny",
+                   choices=["tiny", "small", "base", "large"])
+    p.add_argument("--ckpt")
+    p.add_argument("--torch-ckpt")
+    p.add_argument("--det-thresh", type=float, default=0.3)
+    p.add_argument("--dpi", type=int, default=150)
 
     sub.add_parser("bench", help="run the repo benchmark")
 
@@ -295,7 +375,8 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
     return {"models": cmd_models, "recognize": cmd_recognize, "read": cmd_read,
-            "structurize": cmd_structurize, "bench": cmd_bench,
+            "structurize": cmd_structurize, "table": cmd_table,
+            "convert": cmd_convert, "bench": cmd_bench,
             "import-ckpt": cmd_import_ckpt}[args.command](args)
 
 

@@ -288,3 +288,31 @@ def axis_loss(pred: jnp.ndarray, mask: jnp.ndarray, target: jnp.ndarray
     m = mask[..., None].astype(jnp.float32)
     loss = jnp.sum(jnp.abs(pred * m - target * m))
     return loss / (4 * (jnp.sum(m) + 1e-4))
+
+
+def make_table_predict_fn(model: "LORE", variables, input_size: int = 512,
+                          down_ratio: int = 4, score_thresh: float = 0.3):
+    """→ predict_fn(image_u8) for pipelines.modules.TableStructureRecognition
+    (the DocXChain table module shape: {'polygons' [N,8], 'logi_coords'
+    [N,4]}); mirrors base_detector.py:180 run → post_process coordinate
+    back-mapping (affine resize inverse) with jitted device decode."""
+    import cv2
+    import jax as _jax
+
+    infer = _jax.jit(lambda v, x: model.apply(v, x, method=model.infer))
+
+    def predict(image_u8):
+        h, w = image_u8.shape[:2]
+        x = cv2.resize(image_u8, (input_size, input_size)).astype(np.float32)
+        x = x / 255.0
+        out = infer(variables, jnp.asarray(x[None]))
+        det = np.asarray(out["detections"])[0]
+        scores = np.asarray(out["scores"])[0]
+        logic = np.rint(np.asarray(out["logic"])[0]).astype(np.int32)
+        keep = scores > score_thresh
+        polys = det[keep, :8] * down_ratio
+        polys = polys * np.tile([w / input_size, h / input_size], 4)
+        return {"polygons": polys.astype(np.float32),
+                "logi_coords": logic[keep]}
+
+    return predict
