@@ -650,6 +650,79 @@ def import_docxlayout(sd: Dict[str, np.ndarray], variables: Dict,
                         _validate_shapes(variables, out, "import_docxlayout"))
 
 
+def import_gem_markuplm(sd: Dict[str, np.ndarray], variables: Dict,
+                        prefix: str = "markuplm.") -> Dict:
+    """Map a MarkupLM-base / GEM released encoder onto GEMEncoder params
+    (reference GEM fine-tunes MarkupLM — README.md:13-18; HF MarkupLM key
+    layout: embeddings.{word,position,token_type}_embeddings + LayerNorm,
+    embeddings.xpath_embeddings.{xpath_tag_sub_embeddings.N,
+    xpath_subs_sub_embeddings.N, xpath_unitseq2_inner, inner2emb},
+    encoder.layer.N.attention.self.{query,key,value} /
+    attention.output.{dense,LayerNorm} / intermediate.dense /
+    output.{dense,LayerNorm}). Per-depth xpath tables stack into our
+    [depth*vocab, unit] embedding. GEM's gestalt bbox projection has no
+    MarkupLM counterpart and is left at init unless `bbox_proj.*` keys are
+    present. The trailing classifier/qa head is task-specific and not
+    imported here."""
+    pr = jax.tree.map(np.asarray, variables["params"])
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
+
+    def lin(dst, t):
+        dst["kernel"] = linear_kernel(p[t + ".weight"])
+        dst["bias"] = p[t + ".bias"]
+
+    def ln(dst, t):
+        dst["scale"] = p[t + ".weight"]
+        dst["bias"] = p[t + ".bias"]
+
+    emb = "embeddings."
+    pr["word_embeddings"]["embedding"] = p[emb + "word_embeddings.weight"]
+    pos = p[emb + "position_embeddings.weight"]
+    want = pr["position_embeddings"]["embedding"].shape[0]
+    pr["position_embeddings"]["embedding"] = pos[:want]
+    pr["token_type_embeddings"]["embedding"] = \
+        p[emb + "token_type_embeddings.weight"]
+    ln(pr["emb_norm"], emb + "LayerNorm")
+
+    xp = emb + "xpath_embeddings."
+    depth = 0
+    while f"{xp}xpath_tag_sub_embeddings.{depth}.weight" in p:
+        depth += 1
+    tags = np.concatenate(
+        [p[f"{xp}xpath_tag_sub_embeddings.{d}.weight"] for d in range(depth)],
+        axis=0)
+    subs = np.concatenate(
+        [p[f"{xp}xpath_subs_sub_embeddings.{d}.weight"] for d in range(depth)],
+        axis=0)
+    pr["xpath"]["tag_emb"]["embedding"] = tags
+    pr["xpath"]["subs_emb"]["embedding"] = subs
+    lin(pr["xpath"]["proj1"], xp + "xpath_unitseq2_inner")
+    lin(pr["xpath"]["proj2"], xp + "inner2emb")
+
+    i = 0
+    while f"encoder.layer.{i}.attention.self.query.weight" in p:
+        dst = pr[f"layer_{i}"]
+        pre = f"encoder.layer.{i}."
+        lin(dst["q"], pre + "attention.self.query")
+        lin(dst["k"], pre + "attention.self.key")
+        lin(dst["v"], pre + "attention.self.value")
+        lin(dst["out"], pre + "attention.output.dense")
+        ln(dst["norm1"], pre + "attention.output.LayerNorm")
+        lin(dst["ff1"], pre + "intermediate.dense")
+        lin(dst["ff2"], pre + "output.dense")
+        ln(dst["norm2"], pre + "output.LayerNorm")
+        i += 1
+
+    if "bbox_proj.weight" in p and "bbox_proj" in pr:
+        lin(pr["bbox_proj"], "bbox_proj")
+
+    _warn_unused(p, "import_gem_markuplm")
+    return {"params": jax.tree.map(
+        jnp.asarray,
+        _validate_shapes(variables["params"], pr, "import_gem_markuplm"))}
+
+
 def import_webrpg_vae(sd: Dict[str, np.ndarray], variables: Dict,
                       prefix: str = "") -> Dict:
     """Map the released WebRPG element VAE (reference baselines_model/
@@ -1482,4 +1555,5 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "vgt_cascade": import_vgt_cascade,  # backbone + RPN + cascade head
     "docxlayout": import_docxlayout,  # released DocXLayout_231012.pth
     "webrpg_vae": import_webrpg_vae,  # released element VAE
+    "gem_markuplm": import_gem_markuplm,  # MarkupLM/GEM encoder
 }

@@ -37,13 +37,18 @@ class GEMConfig(ConfigBase):
     xpath_tag_vocab: int = 216          # HTML tag vocabulary (+unk/pad)
     xpath_subs_vocab: int = 1024        # sibling subscripts
     xpath_unit_hidden: int = 32
+    type_vocab: int = 2                 # BERT token-type table
     use_render_bbox: bool = True        # GEM's gestalt signal
     num_labels: int = 9                 # SWDE attribute classes
 
 
 class XPathEmbedding(nn.Module):
-    """MarkupLM xpath embedding: per-depth tag + subscript embeddings,
-    concatenated over depth then projected."""
+    """MarkupLM xpath embedding: PER-DEPTH tag + subscript embedding
+    tables (HF MarkupLMXPathEmbeddings keeps one nn.Embedding per depth
+    unit — modeled here as single [depth, vocab, unit] params indexed by
+    id + depth*vocab so released MarkupLM/GEM checkpoints import by
+    stacking), concatenated over depth, then inner(4h) → ReLU →
+    inner2emb(h)."""
 
     cfg: GEMConfig
     policy: Policy = DEFAULT_POLICY
@@ -52,12 +57,15 @@ class XPathEmbedding(nn.Module):
     def __call__(self, xpath_tags_seq, xpath_subs_seq):
         cfg = self.cfg
         p = self.policy
-        tag_emb = nn.Embed(cfg.xpath_tag_vocab, cfg.xpath_unit_hidden,
+        depth = cfg.max_xpath_depth
+        offs = jnp.arange(depth) * cfg.xpath_tag_vocab
+        tag_emb = nn.Embed(depth * cfg.xpath_tag_vocab, cfg.xpath_unit_hidden,
                            param_dtype=p.param_dtype, name="tag_emb")(
-            xpath_tags_seq)                      # [B,S,D_depth,unit]
-        sub_emb = nn.Embed(cfg.xpath_subs_vocab, cfg.xpath_unit_hidden,
+            xpath_tags_seq + offs)               # [B,S,depth,unit]
+        offs = jnp.arange(depth) * cfg.xpath_subs_vocab
+        sub_emb = nn.Embed(depth * cfg.xpath_subs_vocab, cfg.xpath_unit_hidden,
                            param_dtype=p.param_dtype, name="subs_emb")(
-            xpath_subs_seq)
+            xpath_subs_seq + offs)
         B, S, depth, unit = tag_emb.shape
         x = (tag_emb + sub_emb).reshape(B, S, depth * unit)
         x = nn.Dense(4 * cfg.hidden_size, dtype=p.compute_dtype,
@@ -87,6 +95,10 @@ class GEMEncoder(nn.Module):
         emb = emb + nn.Embed(cfg.max_position, cfg.hidden_size,
                              param_dtype=p.param_dtype,
                              name="position_embeddings")(jnp.arange(S))[None]
+        tt = batch.get("token_type_ids", jnp.zeros_like(ids))
+        emb = emb + nn.Embed(cfg.type_vocab, cfg.hidden_size,
+                             param_dtype=p.param_dtype,
+                             name="token_type_embeddings")(tt)
         emb = emb + XPathEmbedding(cfg, policy=p, name="xpath")(
             batch["xpath_tags_seq"], batch["xpath_subs_seq"]).astype(emb.dtype)
         if cfg.use_render_bbox and "render_bbox" in batch:
