@@ -125,6 +125,15 @@ def make_train_step(
         new_state = st.apply_gradients(grads)
         return new_state, metrics
 
+    if mesh.size == 1:
+        # On a 1-device mesh every NamedSharding is semantically a no-op,
+        # and on the experimental axon TPU backend sharding annotations
+        # route the full TrainState through the host every step (measured
+        # 4.1s vs 0.24s per MGP-STR-base step at B=128) — plain jit keeps
+        # identical semantics without the pathology.
+        jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        return jitted, shardings
+
     jitted = jax.jit(
         step_fn,
         in_shardings=(shardings, bspec, repl),
