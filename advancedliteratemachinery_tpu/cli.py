@@ -314,9 +314,49 @@ def cmd_import_ckpt(args) -> int:
                else "geolayoutlm_backbone")
         return dict(v)["params"], TORCH_IMPORTERS[key]
 
+    def _omniparser():
+        from advancedliteratemachinery_tpu.models.omniparser import (
+            OmniParser, OmniParserConfig)
+        m = OmniParser(OmniParserConfig())
+        seqs = {t: jnp.ones((1, 5), jnp.int32) for t in ("pt", "poly", "rec")}
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), seqs)
+        return dict(v)["params"], TORCH_IMPORTERS["omniparser"]
+
+    def _vgt():
+        from advancedliteratemachinery_tpu.models.rcnn import (
+            CascadeConfig, VGTCascadeDetector)
+        from advancedliteratemachinery_tpu.models.vgt import VGTConfig
+        m = VGTCascadeDetector(VGTConfig(), CascadeConfig())
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+                   jnp.zeros((1, 224, 224), jnp.int32))
+        return dict(v), TORCH_IMPORTERS["vgt_cascade"]
+
+    def _docxlayout():
+        from advancedliteratemachinery_tpu.models.docxlayout import (
+            DocXLayout, DocXLayoutConfig)
+        m = DocXLayout(DocXLayoutConfig())
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+        return dict(v), TORCH_IMPORTERS["docxlayout"]
+
+    def _gem():
+        from advancedliteratemachinery_tpu.models.gem import (
+            GEMConfig, GEMEncoder)
+        cfg = GEMConfig()
+        m = GEMEncoder(cfg)
+        B, S = 1, 8
+        batch = dict(
+            input_ids=jnp.zeros((B, S), jnp.int32),
+            attention_mask=jnp.ones((B, S)),
+            xpath_tags_seq=jnp.zeros((B, S, cfg.max_xpath_depth), jnp.int32),
+            xpath_subs_seq=jnp.zeros((B, S, cfg.max_xpath_depth), jnp.int32))
+        v = m.init(jax.random.PRNGKey(0), batch)
+        return dict(v)["params"], TORCH_IMPORTERS["gem_markuplm"]
+
     builders = {"mgp_str": _mgp, "lister": _lister, "levocr": _levocr,
                 "lore": _lore, "geolayoutlm_backbone": _geolayoutlm,
-                "geolayoutlm_vie": _geolayoutlm}
+                "geolayoutlm_vie": _geolayoutlm, "omniparser": _omniparser,
+                "vgt_cascade": _vgt, "docxlayout": _docxlayout,
+                "gem_markuplm": _gem}
     template, importer = builders[args.family]()
     sd = load_torch_state_dict(args.torch_ckpt)
     imported = importer(sd, jax.tree.map(np.asarray, template))
@@ -368,7 +408,9 @@ def main(argv=None) -> int:
                        help="convert a reference torch .pth → Orbax checkpoint")
     p.add_argument("family", choices=["mgp_str", "lister", "levocr", "lore",
                                       "geolayoutlm_backbone",
-                                      "geolayoutlm_vie"])
+                                      "geolayoutlm_vie", "omniparser",
+                                      "vgt_cascade", "docxlayout",
+                                      "gem_markuplm"])
     p.add_argument("torch_ckpt")
     p.add_argument("out")
     p.add_argument("--variant", default="base")
