@@ -13,6 +13,7 @@ pipeline converts once at collate time.
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -464,70 +465,178 @@ class Pixelate(_Op):
 # ---------------- weather ----------------
 
 
+def _plasma_fractal(rng, mapsize: int = 256, wibbledecay: float = 3.0
+                    ) -> np.ndarray:
+    """Diamond-square heightmap in [0, 1] (reference weather.py
+    plasma_fractal — the Fog texture generator). mapsize power of two."""
+    assert mapsize & (mapsize - 1) == 0
+    arr = np.empty((mapsize, mapsize), np.float64)
+    arr[0, 0] = 0
+    step = mapsize
+    wibble = 100.0
+
+    def wmean(a):
+        return a / 4 + wibble * rng.uniform(-wibble, wibble, a.shape)
+
+    while step >= 2:
+        # squares: center of each step-square = corner mean + wibble
+        corner = arr[0:mapsize:step, 0:mapsize:step]
+        acc = corner + np.roll(corner, -1, 0)
+        acc = acc + np.roll(acc, -1, 1)
+        arr[step // 2:mapsize:step, step // 2:mapsize:step] = wmean(acc)
+        # diamonds: the two offset grids from square+corner neighbours
+        dr = arr[step // 2:mapsize:step, step // 2:mapsize:step]
+        ul = arr[0:mapsize:step, 0:mapsize:step]
+        ldr = dr + np.roll(dr, 1, 0)
+        lul = ul + np.roll(ul, -1, 1)
+        arr[0:mapsize:step, step // 2:mapsize:step] = wmean(ldr + lul)
+        tdr = dr + np.roll(dr, 1, 1)
+        tul = ul + np.roll(ul, -1, 0)
+        arr[step // 2:mapsize:step, 0:mapsize:step] = wmean(tdr + tul)
+        step //= 2
+        wibble /= wibbledecay
+    arr -= arr.min()
+    return arr / arr.max()
+
+
+def _motion_blur_kernel(radius: int, sigma: float, angle_deg: float
+                        ) -> np.ndarray:
+    """Linear gaussian-weighted motion kernel (Wand motion_blur analog —
+    the reference blurs the Snow layer via ImageMagick)."""
+    L = max(int(radius) | 1, 3)
+    k = np.zeros((L, L), np.float32)
+    c = L // 2
+    t = np.radians(angle_deg)
+    for i in range(L):
+        d = i - c
+        x = int(round(c + d * np.cos(t)))
+        y = int(round(c + d * np.sin(t)))
+        if 0 <= x < L and 0 <= y < L:
+            k[y, x] += np.exp(-(d ** 2) / (2 * max(sigma, 0.5) ** 2))
+    return k / k.sum()
+
+
 class Fog(_Op):
+    """weather.py:14 — additive plasma-fractal fog then renormalize by
+    max/(max + intensity)."""
+
     def __call__(self, img, mag=-1, rng=None):
-        c = [0.3, 0.45, 0.6][mag % 3]
+        rng = _rng(rng)
+        c = [(1.5, 2.0), (2.0, 2.0), (2.5, 1.7)][mag % 3]
         x = _np(img)
-        return _pil(x * (1 - c) + c)
+        H, W = x.shape[:2]
+        size = 256
+        while size < max(H, W):
+            size *= 2
+        fog = c[0] * _plasma_fractal(rng, size, c[1])[:H, :W]
+        if x.ndim == 3:
+            fog = fog[..., None]
+        max_val = x.max()
+        x = x + fog
+        return _pil(np.clip(x * max_val / (max_val + c[0]), 0, 1))
 
 
 class Snow(_Op):
+    """weather.py:95 — gaussian snow layer, thresholded, motion-blurred at
+    a random -135..-45 angle, overlaid twice (original + 180-rotated) on a
+    gray-lightened image."""
+
     def __call__(self, img, mag=-1, rng=None):
+        import cv2
+
         rng = _rng(rng)
-        c = [0.02, 0.05, 0.08][mag % 3]
+        c = [(0.1, 0.3, 3, 0.5, 10, 4, 0.8),
+             (0.2, 0.3, 2, 0.5, 12, 4, 0.7),
+             (0.55, 0.3, 4, 0.9, 12, 8, 0.7)][mag % 3]
         x = _np(img)
-        flakes = (rng.uniform(size=x.shape[:2]) < c).astype(np.float32)
-        if x.ndim == 3:
-            flakes = flakes[..., None]
-        return _pil(np.maximum(x, flakes))
+        if x.ndim == 2:
+            x = np.repeat(x[..., None], 3, axis=2)
+        H, W = x.shape[:2]
+        layer = rng.normal(loc=c[0], scale=c[1], size=(H, W))
+        layer[layer < c[3]] = 0
+        layer = np.clip(layer, 0, 1).astype(np.float32)
+        kern = _motion_blur_kernel(c[4], c[5], rng.uniform(-135, -45))
+        layer = cv2.filter2D(layer, -1, kern)[..., None]
+        gray = cv2.cvtColor(x.astype(np.float32),
+                            cv2.COLOR_RGB2GRAY).reshape(H, W, 1)
+        x = c[6] * x + (1 - c[6]) * np.maximum(x, gray * 1.5 + 0.5)
+        x = np.clip(x + layer + np.rot90(layer, k=2), 0, 1)
+        return _pil(x)
 
 
 class Frost(_Op):
+    """weather.py:48 — blend `c0*img + c1*frost_texture`. The reference
+    samples six shipped frost photos (assets this zero-egress image cannot
+    vendor); the texture here is a procedural plasma-fractal crystalline
+    pattern with the same blend weights."""
+
     def __call__(self, img, mag=-1, rng=None):
         rng = _rng(rng)
-        c = [0.2, 0.3, 0.4][mag % 3]
+        c = [(1.0, 0.4), (0.8, 0.6), (0.7, 0.7)][mag % 3]
         x = _np(img)
-        # procedural frost texture (the reference ships frost JPEGs)
-        noise = rng.uniform(size=(x.shape[0] // 4 + 1, x.shape[1] // 4 + 1))
-        import cv2
-
-        tex = cv2.resize(noise.astype(np.float32), (x.shape[1], x.shape[0]))
+        H, W = x.shape[:2]
+        size = 256
+        while size < max(H, W):
+            size *= 2
+        tex = _plasma_fractal(rng, size, 1.8)
+        # random crop, like the reference's random texture-crop
+        oy = int(rng.integers(0, size - H + 1))
+        ox = int(rng.integers(0, size - W + 1))
+        tex = tex[oy:oy + H, ox:ox + W]
         if x.ndim == 3:
             tex = tex[..., None]
-        return _pil(x * (1 - c) + tex * c)
+        return _pil(np.clip(c[0] * x + c[1] * tex, 0, 1))
 
 
 class Rain(_Op):
+    """weather.py:150 — n~U[c, c+20) slanted streaks (slant U[-60,60) deg,
+    length U[5,10), width U[1,2), fill 200) drawn with PIL."""
+
     def __call__(self, img, mag=-1, rng=None):
-        import cv2
+        from PIL import ImageDraw
 
         rng = _rng(rng)
-        n = [30, 50, 70][mag % 3]
-        arr = np.asarray(img).copy()
-        h, w = arr.shape[:2]
-        for _ in range(n):
-            x0 = int(rng.integers(0, w))
-            y0 = int(rng.integers(0, max(1, h - 6)))
-            cv2.line(arr, (x0, y0), (x0 + 2, y0 + 6), (220, 220, 220), 1)
-        return Image.fromarray(arr)
+        c = [50, 70, 90][mag % 3]
+        img = img.copy()
+        W, H = img.size
+        isgray = len(img.getbands()) == 1
+        line_width = int(rng.integers(1, 2))
+        n_rains = int(rng.integers(c, c + 20))
+        slant = int(rng.integers(-60, 60))
+        fill = 200 if isgray else (200, 200, 200)
+        draw = ImageDraw.Draw(img)
+        for _ in range(1, n_rains):
+            length = int(rng.integers(5, 10))
+            x1 = int(rng.integers(0, max(1, W - length)))
+            y1 = int(rng.integers(0, max(1, H - length)))
+            x2 = int(x1 + length * math.sin(slant * math.pi / 180.0))
+            y2 = int(y1 + length * math.cos(slant * math.pi / 180.0))
+            draw.line([(x1, y1), (x2, y2)], width=line_width, fill=fill)
+        return img
 
 
 class Shadow(_Op):
+    """weather.py:218 — black quad (corners in left/right halves, alpha
+    U[c, c+32)) alpha-composited over the image."""
+
     def __call__(self, img, mag=-1, rng=None):
-        import cv2
+        from PIL import ImageDraw, ImageOps
 
         rng = _rng(rng)
-        c = [0.5, 0.4, 0.3][mag % 3]
-        arr = _np(img)
-        h, w = arr.shape[:2]
-        mask = np.zeros((h, w), np.float32)
-        pts = np.asarray([[rng.integers(0, w), 0], [rng.integers(0, w), 0],
-                          [rng.integers(0, w), h], [rng.integers(0, w), h]],
-                         np.int32)
-        cv2.fillPoly(mask, [pts], 1.0)
-        if arr.ndim == 3:
-            mask = mask[..., None]
-        return _pil(arr * (1 - mask * (1 - c)))
+        c = [64, 96, 128][mag % 3]
+        W, H = img.size
+        isgray = len(img.getbands()) == 1
+        base = img.convert("RGBA")
+        overlay = Image.new("RGBA", base.size, (255, 255, 255, 0))
+        draw = ImageDraw.Draw(overlay)
+        alpha = int(rng.integers(c, c + 32))
+        pts = [(int(rng.integers(0, W // 2)), 0),
+               (int(rng.integers(W // 2, W)), 0),
+               (int(rng.integers(W // 2, W)), H - 1),
+               (int(rng.integers(0, W // 2)), H - 1)]
+        draw.polygon(pts, fill=(0, 0, 0, alpha))
+        out = Image.alpha_composite(base, overlay).convert("RGB")
+        return ImageOps.grayscale(out) if isgray else out
 
 
 # ---------------- process ----------------
