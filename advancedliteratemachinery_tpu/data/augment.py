@@ -324,25 +324,37 @@ class EllipseGrid(_Op):
 
 
 class GaussianNoise(_Op):
+    """noise.py:11 — scale ~ U[a, a+0.03), a in (0.08, 0.10, 0.12)."""
+
     def __call__(self, img, mag=-1, rng=None):
         rng = _rng(rng)
-        c = [0.06, 0.1, 0.14][mag % 3]
+        a = [0.08, 0.10, 0.12][mag % 3]
+        c = rng.uniform(a, a + 0.03)
         x = _np(img)
-        return _pil(x + rng.normal(size=x.shape) * c)
+        return _pil(x + rng.normal(size=x.shape, scale=c))
 
 
 class ShotNoise(_Op):
+    """noise.py:33 — rate ~ U[a, a+7), a in (13, 8, 3); higher mag =
+    FEWER photons = more noise."""
+
     def __call__(self, img, mag=-1, rng=None):
         rng = _rng(rng)
-        c = [13, 8, 4][mag % 3]
+        a = [13, 8, 3][mag % 3]
+        c = rng.uniform(a, a + 7)
         x = _np(img)
         return _pil(rng.poisson(x * c) / float(c))
 
 
 class ImpulseNoise(_Op):
+    """noise.py:55 — salt & pepper, amount ~ U[a, a+0.04),
+    a in (0.03, 0.07, 0.11) (sk.util.random_noise 's&p' semantics:
+    half salt, half pepper over the amount fraction)."""
+
     def __call__(self, img, mag=-1, rng=None):
         rng = _rng(rng)
-        c = [0.01, 0.03, 0.07][mag % 3]
+        a = [0.03, 0.07, 0.11][mag % 3]
+        c = rng.uniform(a, a + 0.04)
         x = _np(img)
         mask = rng.uniform(size=x.shape[:2]) < c
         salt = rng.uniform(size=x.shape[:2]) < 0.5
@@ -352,103 +364,167 @@ class ImpulseNoise(_Op):
 
 
 class SpeckleNoise(_Op):
+    """noise.py:76 — multiplicative gaussian, scale ~ U[a, a+0.05),
+    a in (0.15, 0.20, 0.25)."""
+
     def __call__(self, img, mag=-1, rng=None):
         rng = _rng(rng)
-        c = [0.15, 0.2, 0.35][mag % 3]
+        a = [0.15, 0.20, 0.25][mag % 3]
+        c = rng.uniform(a, a + 0.05)
         x = _np(img)
-        return _pil(x + x * rng.normal(size=x.shape) * c)
+        return _pil(x + x * rng.normal(size=x.shape, scale=c))
 
 
 # ---------------- blur ----------------
 
 
 class GaussianBlur(_Op):
+    """blur.py:17 — kernel size derived from the image (min(w,h)/2//4*2+1),
+    sigma in (0.5, 1, 2)."""
+
     def __call__(self, img, mag=-1, rng=None):
         import cv2
 
-        c = [0.7, 1.0, 1.3][mag % 3]
-        return Image.fromarray(cv2.GaussianBlur(np.asarray(img), (0, 0), c))
+        sigma = [0.5, 1.0, 2.0][mag % 3]
+        w, h = img.size
+        ksize = (int(min(w, h) / 2) // 4) * 2 + 1
+        return Image.fromarray(cv2.GaussianBlur(
+            np.asarray(img), (ksize, ksize), sigma))
+
+
+def _disk_kernel(radius: float, alias_blur: float = 0.1) -> np.ndarray:
+    """Anti-aliased disk (reference ops.py:24 disk): binary disk mask,
+    normalized, then a small gaussian to soften the rim."""
+    import cv2
+
+    if radius <= 8:
+        L = np.arange(-8, 9)
+        ksize = (3, 3)
+    else:
+        L = np.arange(-radius, radius + 1)
+        ksize = (5, 5)
+    X, Y = np.meshgrid(L, L)
+    d = ((X ** 2 + Y ** 2) <= radius ** 2).astype(np.float32)
+    d /= d.sum()
+    return cv2.GaussianBlur(d, ksize=ksize, sigmaX=alias_blur)
 
 
 class DefocusBlur(_Op):
+    """blur.py:41 — per-channel filter with the anti-aliased disk kernel,
+    radii (2, 3, 4) at alias 0.1."""
+
     def __call__(self, img, mag=-1, rng=None):
         import cv2
 
-        r = [2, 3, 4][mag % 3]
-        kernel = np.zeros((2 * r + 1, 2 * r + 1), np.float32)
-        cv2.circle(kernel, (r, r), r, 1.0, -1)
-        kernel /= kernel.sum()
-        return Image.fromarray(cv2.filter2D(np.asarray(img), -1, kernel))
+        r, alias = [(2, 0.1), (3, 0.1), (4, 0.1)][mag % 3]
+        x = _np(img)
+        kernel = _disk_kernel(r, alias)
+        if x.ndim == 2:
+            return _pil(cv2.filter2D(x, -1, kernel))
+        chans = [cv2.filter2D(x[:, :, d], -1, kernel)
+                 for d in range(x.shape[2])]
+        return _pil(np.stack(chans, axis=2))
 
 
 class MotionBlur(_Op):
+    """blur.py:83 — ImageMagick-style linear motion blur (radius, sigma)
+    pairs (10,3)/(12,4)/(14,5) at a random -45..45 degree angle."""
+
     def __call__(self, img, mag=-1, rng=None):
         import cv2
 
         rng = _rng(rng)
-        k = [5, 9, 13][mag % 3]
-        kernel = np.zeros((k, k), np.float32)
-        kernel[k // 2, :] = 1.0 / k
-        angle = float(rng.uniform(-45, 45))
-        M = cv2.getRotationMatrix2D((k / 2 - 0.5, k / 2 - 0.5), angle, 1.0)
-        kernel = cv2.warpAffine(kernel, M, (k, k))
-        s = kernel.sum()
-        if s > 0:
-            kernel /= s
+        radius, sigma = [(10, 3), (12, 4), (14, 5)][mag % 3]
+        kernel = _motion_blur_kernel(radius, sigma, float(rng.uniform(-45, 45)))
         return Image.fromarray(cv2.filter2D(np.asarray(img), -1, kernel))
 
 
 class GlassBlur(_Op):
-    def __call__(self, img, mag=-1, rng=None):
-        rng = _rng(rng)
-        d = [1, 2, 3][mag % 3]
-        arr = np.asarray(img).copy()
-        h, w = arr.shape[:2]
-        dy = rng.integers(-d, d + 1, (h, w))
-        dx = rng.integers(-d, d + 1, (h, w))
-        ys = np.clip(np.arange(h)[:, None] + dy, 0, h - 1)
-        xs = np.clip(np.arange(w)[None, :] + dx, 0, w - 1)
-        return Image.fromarray(arr[ys, xs])
+    """blur.py:116 — gaussian(sigma) → c2 sweeps of sequential random
+    local pixel SWAPS (reverse scan order, exactly the reference's
+    in-place semantics) → gaussian again."""
 
-
-class ZoomBlur(_Op):
     def __call__(self, img, mag=-1, rng=None):
         import cv2
 
-        zooms = [1.02, 1.04, 1.06][mag % 3]
+        rng = _rng(rng)
+        sigma, d, iters = [(0.7, 1, 2), (0.75, 1, 2), (0.8, 1, 2)][mag % 3]
+        arr = np.asarray(img)
+        H, W = arr.shape[:2]
+        blurred = cv2.GaussianBlur(arr.astype(np.float32), (0, 0), sigma)
+        arr = np.uint8(np.clip(blurred, 0, 255))
+        for _ in range(iters):
+            # one draw per pixel, applied in the reference's reverse scan
+            dxy = rng.integers(-d, d, size=(H, W, 2))
+            for h in range(H - d, d, -1):
+                for w in range(W - d, d, -1):
+                    dx, dy = dxy[h, w]
+                    hp, wp = h + dy, w + dx
+                    arr[h, w], arr[hp, wp] = arr[hp, wp].copy(), arr[h, w].copy()
+        out = cv2.GaussianBlur(arr.astype(np.float32) / 255.0, (0, 0), sigma)
+        return _pil(out)
+
+
+class ZoomBlur(_Op):
+    """blur.py:149 — average of bicubic center zooms over the magnitude's
+    zoom-factor ladder plus the original."""
+
+    def __call__(self, img, mag=-1, rng=None):
+        ladders = [np.arange(1, 1.11, .01), np.arange(1, 1.16, .01),
+                   np.arange(1, 1.21, .02)]
+        c = ladders[mag % 3]
+        W, H = img.size
         x = _np(img)
-        h, w = x.shape[:2]
-        acc = x.copy()
-        n = 4
-        for i in range(1, n + 1):
-            z = 1 + (zooms - 1) * i / n
-            zi = cv2.resize(np.asarray(img), None, fx=z, fy=z)
-            y0 = (zi.shape[0] - h) // 2
-            x0 = (zi.shape[1] - w) // 2
-            acc += zi[y0:y0 + h, x0:x0 + w].astype(np.float32) / 255.0
-        return _pil(acc / (n + 1))
+        out = np.zeros_like(x)
+        for z in c:
+            ZW, ZH = int(W * z), int(H * z)
+            zi = img.resize((ZW, ZH), Image.BICUBIC)
+            x1, y1 = (ZW - W) // 2, (ZH - H) // 2
+            zi = zi.crop((x1, y1, x1 + W, y1 + H))
+            out += np.asarray(zi).astype(np.float32) / 255.0
+        return _pil((x + out) / (len(c) + 1))
 
 
 # ---------------- camera ----------------
 
 
 class Contrast(_Op):
+    """camera.py:14 — scale around the per-channel spatial mean,
+    c = 0.4/0.3/0.2."""
+
     def __call__(self, img, mag=-1, rng=None):
-        f = [0.6, 0.45, 0.3][mag % 3]
-        return ImageEnhance.Contrast(img).enhance(f)
+        c = [0.4, 0.3, 0.2][mag % 3]
+        x = _np(img)
+        means = np.mean(x, axis=(0, 1), keepdims=True)
+        return _pil((x - means) * c + means)
 
 
 class Brightness(_Op):
+    """camera.py:36 — add c to the HSV value channel, c = 0.1/0.2/0.3."""
+
     def __call__(self, img, mag=-1, rng=None):
-        f = [1.3, 1.6, 1.9][mag % 3]
-        return ImageEnhance.Brightness(img).enhance(f)
+        import cv2
+        from PIL import ImageOps
+
+        c = [0.1, 0.2, 0.3][mag % 3]
+        isgray = len(img.getbands()) == 1
+        x = _np(img)
+        if x.ndim == 2:
+            x = np.repeat(x[..., None], 3, axis=2)
+        hsv = cv2.cvtColor(x, cv2.COLOR_RGB2HSV)
+        hsv[:, :, 2] = np.clip(hsv[:, :, 2] + c, 0, 1)
+        x = np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0, 1)
+        out = _pil(x)
+        return ImageOps.grayscale(out) if isgray else out
 
 
 class JpegCompression(_Op):
+    """camera.py:82 — quality ladder 25/18/15."""
+
     def __call__(self, img, mag=-1, rng=None):
         import io
 
-        q = [25, 18, 12][mag % 3]
+        q = [25, 18, 15][mag % 3]
         buf = io.BytesIO()
         img.convert("RGB").save(buf, "JPEG", quality=q)
         return Image.open(buf).convert(img.mode)
