@@ -227,97 +227,160 @@ class Stretch(_Op):
 
 
 class Rotate(_Op):
-    def __call__(self, img, mag=-1, rng=None):
+    """geometry.py:84 — resize to a 224 square, rotate by U[b-10, b) with
+    random sign (b = 10/20/30), expand=True, resize back."""
+
+    side = 224
+
+    def __call__(self, img, mag=-1, rng=None, iscurve: bool = False):
         rng = _rng(rng)
-        deg = [5, 10, 15][mag % 3]
-        angle = float(rng.uniform(-deg, deg))
-        return img.rotate(angle, resample=Image.BILINEAR, expand=False)
+        W, H = img.size
+        if H != self.side or W != self.side:
+            img = img.resize((self.side, self.side), Image.BICUBIC)
+        b = [10.0, 20.0, 30.0][mag % 3]
+        angle = float(rng.uniform(b - 10, b))
+        if rng.uniform(0, 1) < 0.5:
+            angle = -angle
+        img = img.rotate(angle=angle, resample=Image.BICUBIC,
+                         expand=not iscurve)
+        return img.resize((W, H), Image.BICUBIC)
 
 
 class Perspective(_Op):
+    """geometry.py:118 — tilt one side: the chosen side's top corner moves
+    down to U[low, low+0.1)·H and its bottom corner up to U[high-0.1,
+    high)·H (low = 0.1/0.2/0.3)."""
+
     def __call__(self, img, mag=-1, rng=None):
         import cv2
 
         rng = _rng(rng)
-        w, h = img.size
-        k = [0.05, 0.1, 0.15][mag % 3]
-        src = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
-        dst = src.copy()
-        dst[:2, 1] += rng.uniform(0, k * h, 2).astype(np.float32)
+        W, H = img.size
+        low = [0.1, 0.2, 0.3][mag % 3]
+        high = 1 - low
+        src = np.float32([[0, 0], [W, 0], [0, H], [W, H]])
+        if rng.uniform(0, 1) > 0.5:
+            top = rng.uniform(low, low + 0.1) * H
+            bot = rng.uniform(high - 0.1, high) * H
+            dst = np.float32([[0, 0], [W, top], [0, H], [W, bot]])
+        else:
+            top = rng.uniform(low, low + 0.1) * H
+            bot = rng.uniform(high - 0.1, high) * H
+            dst = np.float32([[0, top], [W, 0], [0, bot], [W, H]])
         M = cv2.getPerspectiveTransform(src, dst)
-        return Image.fromarray(cv2.warpPerspective(np.asarray(img), M, (w, h),
-                                                   borderMode=cv2.BORDER_REPLICATE))
+        return Image.fromarray(
+            cv2.warpPerspective(np.asarray(img), M, (W, H)))
 
 
 class Shrink(_Op):
-    def __call__(self, img, mag=-1, rng=None):
-        import cv2
+    """geometry.py:10 — TPS contraction: outer border control points move
+    inward by U[frac-0.1, frac)·(W/3, H/2) (frac = 0.2/0.3/0.4), then a
+    random absolute X or Y translate by U[0, x|y) with random sign."""
 
-        w, h = img.size
-        f = [0.9, 0.8, 0.7][mag % 3]
-        nw, nh = max(1, int(w * f)), max(1, int(h * f))
-        small = img.resize((nw, nh), Image.BILINEAR)
-        canvas = Image.new(img.mode, (w, h),
-                           tuple(int(c) for c in np.asarray(img)[0, 0])
-                           if img.mode == "RGB" else 0)
-        canvas.paste(small, ((w - nw) // 2, (h - nh) // 2))
-        return canvas
+    def __call__(self, img, mag=-1, rng=None):
+        rng = _rng(rng)
+        W, H = img.size
+        arr = np.asarray(img)
+        W_33, W_66 = 0.33 * W, 0.66 * W
+        H_50 = 0.50 * H
+        P = 0
+        frac = [0.2, 0.3, 0.4][mag % 3]
+        x = rng.uniform(frac - 0.1, frac) * W_33
+        y = rng.uniform(frac - 0.1, frac) * H_50
+
+        srcpt = [[P, P], [P, H - P],
+                 [P + W_33, P], [P + W_33, H - P],
+                 [P + W_66, P], [P + W_66, H - P],
+                 [W - P, P], [W - P, H - P]]
+        dstpt = [[P + x, P + y], [P + x, H - P - y],
+                 [P + W_33, P + y], [P + W_33, H - P - y],
+                 [P + W_66, P + y], [P + W_66, H - P - y],
+                 [W - P - x, P + y], [W - P - x, H - P - y]]
+        arr = _tps_backward_warp(arr, dstpt, srcpt)
+        img = Image.fromarray(arr)
+
+        if rng.uniform(0, 1) < 0.5:
+            v = rng.uniform(0, x)
+            if rng.uniform(0, 1) > 0.5:
+                v = -v
+            img = img.transform(img.size, Image.AFFINE, (1, 0, v, 0, 1, 0))
+        else:
+            v = rng.uniform(0, y)
+            if rng.uniform(0, 1) > 0.5:
+                v = -v
+            img = img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v))
+        return img
 
 
 # ---------------- pattern ----------------
+# pattern.py: PIL line grids with line_width 1 and stripe = 3 - mag
+# (higher magnitude = denser pattern); Rect/Ellipse grids are concentric
+# outlines stepped by the same stripe spacing.
 
 
-class _GridBase(_Op):
-    vertical = True
-    horizontal = False
-
+class VGrid(_Op):
     def __call__(self, img, mag=-1, rng=None):
-        arr = np.asarray(img).copy()
-        h, w = arr.shape[:2]
-        step = [12, 8, 5][mag % 3]
-        if self.vertical:
-            arr[:, ::step] = 0
-        if self.horizontal:
-            arr[::step, :] = 0
-        return Image.fromarray(arr)
+        from PIL import ImageDraw
+
+        img = img.copy()
+        W, H = img.size
+        line_width = 1
+        stripe = max(3 - (mag % 3), 1)
+        n_lines = W // (line_width + stripe) + 1
+        draw = ImageDraw.Draw(img)
+        for i in range(1, n_lines):
+            x = stripe * i + line_width * (i - 1)
+            draw.line([(x, 0), (x, H)], width=line_width, fill="black")
+        return img
 
 
-class VGrid(_GridBase):
-    vertical, horizontal = True, False
+class HGrid(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        from PIL import ImageDraw
+
+        img = img.copy()
+        W, H = img.size
+        line_width = 1
+        stripe = max(3 - (mag % 3), 1)
+        n_lines = H // (line_width + stripe) + 1
+        draw = ImageDraw.Draw(img)
+        for i in range(1, n_lines):
+            y = stripe * i + line_width * (i - 1)
+            draw.line([(0, y), (W, y)], width=line_width, fill="black")
+        return img
 
 
-class HGrid(_GridBase):
-    vertical, horizontal = False, True
-
-
-class Grid(_GridBase):
-    vertical, horizontal = True, True
+class Grid(_Op):
+    def __call__(self, img, mag=-1, rng=None):
+        return HGrid()(VGrid()(img, mag=mag), mag=mag)
 
 
 class RectGrid(_Op):
+    isellipse = False
+
     def __call__(self, img, mag=-1, rng=None):
-        import cv2
+        from PIL import ImageDraw
 
-        arr = np.asarray(img).copy()
-        h, w = arr.shape[:2]
-        n = [2, 3, 4][mag % 3]
-        for i in range(1, n + 1):
-            cv2.rectangle(arr, (i * w // (2 * n), i * h // (2 * n)),
-                          (w - i * w // (2 * n), h - i * h // (2 * n)), 0, 1)
-        return Image.fromarray(arr)
+        img = img.copy()
+        W, H = img.size
+        line_width = 1
+        stripe = max(3 - (mag % 3), 1)
+        offset = 4 if self.isellipse else 1
+        n_lines = ((H // 2) // (line_width + stripe)) + offset
+        draw = ImageDraw.Draw(img)
+        xc, yc = W // 2, H // 2
+        for i in range(1, n_lines):
+            d = stripe * i + line_width * (i - 1)
+            box = [(xc - d * W // H, yc - d), (xc + d * W / H, yc + d)]
+            if self.isellipse:
+                draw.ellipse(box, width=line_width, outline="black")
+            else:
+                draw.rectangle(box, width=line_width, outline="black")
+        return img
 
 
-class EllipseGrid(_Op):
-    def __call__(self, img, mag=-1, rng=None):
-        import cv2
-
-        arr = np.asarray(img).copy()
-        h, w = arr.shape[:2]
-        n = [2, 3, 4][mag % 3]
-        for i in range(1, n + 1):
-            cv2.ellipse(arr, (w // 2, h // 2), (i * w // (2 * n), i * h // (2 * n)),
-                        0, 0, 360, 0, 1)
-        return Image.fromarray(arr)
+class EllipseGrid(RectGrid):
+    isellipse = True
 
 
 # ---------------- noise ----------------
@@ -719,14 +782,23 @@ class Shadow(_Op):
 
 
 class Posterize(_Op):
+    """process.py:6 — bits ~ randint[c, c+2), c = 1/3/6 (note: LOWER
+    magnitude index = harsher posterization in the reference)."""
+
     def __call__(self, img, mag=-1, rng=None):
-        bits = [6, 4, 2][mag % 3]
+        rng = _rng(rng)
+        c = [1, 3, 6][mag % 3]
+        bits = int(rng.integers(c, c + 2))
         return ImageOps.posterize(img.convert("RGB"), bits).convert(img.mode)
 
 
 class Solarize(_Op):
+    """process.py:26 — threshold ~ randint[c, c+64), c = 64/128/192."""
+
     def __call__(self, img, mag=-1, rng=None):
-        thr = [192, 128, 64][mag % 3]
+        rng = _rng(rng)
+        c = [64, 128, 192][mag % 3]
+        thr = int(rng.integers(c, c + 64))
         return ImageOps.solarize(img.convert("RGB"), thr).convert(img.mode)
 
 
@@ -746,14 +818,21 @@ class AutoContrast(_Op):
 
 
 class Sharpness(_Op):
+    """process.py:84 — enhance factor ~ U[c, c+0.6), c = 0.1/0.7/1.3."""
+
     def __call__(self, img, mag=-1, rng=None):
-        f = [1.5, 2.0, 2.5][mag % 3]
-        return ImageEnhance.Sharpness(img).enhance(f)
+        rng = _rng(rng)
+        c = [0.1, 0.7, 1.3][mag % 3]
+        return ImageEnhance.Sharpness(img).enhance(float(rng.uniform(c, c + 0.6)))
 
 
 class Color(_Op):
+    """process.py:104 — enhance factor ~ U[c, c+0.6), c = 0.1/0.7/1.3."""
+
     def __call__(self, img, mag=-1, rng=None):
-        f = [1.5, 2.0, 2.5][mag % 3]
+        rng = _rng(rng)
+        c = [0.1, 0.7, 1.3][mag % 3]
+        f = float(rng.uniform(c, c + 0.6))
         return ImageEnhance.Color(img.convert("RGB")).enhance(f).convert(img.mode)
 
 
