@@ -650,6 +650,133 @@ def import_docxlayout(sd: Dict[str, np.ndarray], variables: Dict,
                         _validate_shapes(variables, out, "import_docxlayout"))
 
 
+def import_vlpt(sd: Dict[str, np.ndarray], variables: Dict,
+                prefix: str = "") -> Dict:
+    """Map a released VLPT-STD checkpoint (reference models/VLPT.py:29 +
+    models/encoders.py) onto our VLPT variables ({"params","batch_stats"}).
+    Covers: torchvision ResNet50 trunk, FPN laterals, stride-2 proj,
+    cls/pos, pre-norm blocks (separate q/k/v), BertEmbeddings, cross
+    blocks, token-type table, CLIP projections + logit scales, and the
+    MLM head (decoder is tied to the word embeddings and not stored)."""
+    out = jax.tree.map(np.asarray, variables)
+    pr, st = out["params"], out.get("batch_stats", {})
+    p = _TrackingDict({k[len(prefix):]: v for k, v in sd.items()
+                       if k.startswith(prefix)})
+
+    def lin(dst, t):
+        dst["kernel"] = linear_kernel(p[t + ".weight"])
+        if t + ".bias" in p:
+            dst["bias"] = p[t + ".bias"]
+
+    def ln(dst, t):
+        dst["scale"] = p[t + ".weight"]
+        dst["bias"] = p[t + ".bias"]
+
+    def bn(dst_p, dst_s, t):
+        dst_p["scale"] = p[t + ".weight"]
+        dst_p["bias"] = p[t + ".bias"]
+        dst_s["mean"] = p[t + ".running_mean"]
+        dst_s["var"] = p[t + ".running_var"]
+
+    def attn(dst, t):
+        for n in ("q_proj", "k_proj", "v_proj", "proj"):
+            lin(dst[n], f"{t}.{n}")
+
+    def block(dst, t):
+        ln(dst["norm1"], t + ".norm1")
+        attn(dst["attn"], t + ".attn")
+        ln(dst["norm2"], t + ".norm2")
+        lin(dst["mlp"]["fc1"], t + ".mlp.fc1")
+        lin(dst["mlp"]["fc2"], t + ".mlp.fc2")
+
+    # ---- image encoder ----
+    ie_p, ie_s = pr["image_encoder"], st["image_encoder"]
+    bb_p, bb_s = ie_p["backbone"], ie_s["backbone"]
+    pre = "image_encoder.backbone."
+    bb_p["conv1"]["kernel"] = conv_kernel(p[pre + "conv1.weight"])
+    bn(bb_p["bn1"], bb_s["bn1"], pre + "bn1")
+    for li in range(1, 5):
+        b = 0
+        while f"{pre}layer{li}.{b}.conv1.weight" in p:
+            dst_p = bb_p[f"layer{li}_{b}"]
+            dst_s = bb_s[f"layer{li}_{b}"]
+            t = f"{pre}layer{li}.{b}"
+            for ci in (1, 2, 3):
+                dst_p[f"conv{ci}"]["kernel"] = conv_kernel(
+                    p[f"{t}.conv{ci}.weight"])
+                bn(dst_p[f"bn{ci}"], dst_s[f"bn{ci}"], f"{t}.bn{ci}")
+            if f"{t}.downsample.0.weight" in p:
+                dst_p["downsample_conv"]["kernel"] = conv_kernel(
+                    p[f"{t}.downsample.0.weight"])
+                bn(dst_p["downsample_bn"], dst_s["downsample_bn"],
+                   f"{t}.downsample.1")
+            b += 1
+    for i in range(4):
+        ie_p["fpn"][f"fpn_in_{i}"]["kernel"] = conv_kernel(
+            p[f"image_encoder.fpn.fpn_in.{i}.weight"])
+    ie_p["proj"]["kernel"] = conv_kernel(p["image_encoder.proj.0.weight"])
+    ie_p["proj"]["bias"] = p["image_encoder.proj.0.bias"]
+    ie_p["cls_token"] = p["image_encoder.cls_token"]
+    ie_p["pos_embed"] = p["image_encoder.pos_embed"]
+    i = 0
+    while f"image_encoder.blocks.{i}.norm1.weight" in p:
+        block(ie_p[f"block_{i}"], f"image_encoder.blocks.{i}")
+        i += 1
+    ln(ie_p["norm"], "image_encoder.norm")
+
+    # ---- text encoder (BertEmbeddings live under text_embeddings) ----
+    te = pr["text_encoder"]
+    emb = "text_encoder.text_embeddings."
+    pr["word_embeddings"]["embedding"] = p[emb + "word_embeddings.weight"]
+    want = te["position_embeddings"]["embedding"].shape[0]
+    te["position_embeddings"]["embedding"] = \
+        p[emb + "position_embeddings.weight"][:want]
+    te["token_type_embeddings"]["embedding"] = \
+        p[emb + "token_type_embeddings.weight"]
+    ln(te["emb_norm"], emb + "LayerNorm")
+    i = 0
+    while f"text_encoder.blocks.{i}.norm1.weight" in p:
+        block(te[f"block_{i}"], f"text_encoder.blocks.{i}")
+        i += 1
+    ln(te["norm"], "text_encoder.norm")
+
+    # ---- co encoder ----
+    i = 0
+    while f"co_encoder.blocks.{i}.norm1.weight" in p:
+        dst = pr[f"co_block_{i}"]
+        t = f"co_encoder.blocks.{i}"
+        ln(dst["norm1"], t + ".norm1")
+        ln(dst["norm2"], t + ".norm2")
+        ln(dst["norm3"], t + ".norm3")
+        attn(dst["self_attn"], t + ".self_attn")
+        attn(dst["cross_attn"], t + ".cross_attn")
+        lin(dst["mlp"]["fc1"], t + ".mlp.fc1")
+        lin(dst["mlp"]["fc2"], t + ".mlp.fc2")
+        i += 1
+    ln(pr["co_norm"], "co_encoder.norm")
+
+    # ---- top-level heads ----
+    pr["token_type"]["embedding"] = p["token_type_embeddings.weight"]
+    for ours, theirs in (("image_proj", "image_proj"),
+                         ("text_proj", "text_proj"),
+                         ("image_proj_wip", "image_proj_wip"),
+                         ("text_proj_wip", "text_proj_wip")):
+        lin(pr[ours], theirs)
+    pr["logit_scale"] = p["logit_scale"].reshape(())
+    pr["logit_scale_wip"] = p["logit_scale_wip"].reshape(())
+    lin(pr["mlm_dense"], "mlm_score.transform.dense")
+    ln(pr["mlm_norm"], "mlm_score.transform.LayerNorm")
+    pr["mlm_bias"] = p["mlm_score.bias"]
+    if "mlm_score.decoder.weight" in p:
+        _ = p["mlm_score.decoder.weight"]     # tied to word embeddings
+
+    _warn_unused(p, "import_vlpt")
+    res = {"params": _validate_shapes(variables["params"], pr, "import_vlpt")}
+    if st:
+        res["batch_stats"] = st
+    return jax.tree.map(jnp.asarray, res)
+
+
 def import_gem_markuplm(sd: Dict[str, np.ndarray], variables: Dict,
                         prefix: str = "markuplm.") -> Dict:
     """Map a MarkupLM-base / GEM released encoder onto GEMEncoder params
@@ -1556,4 +1683,5 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "docxlayout": import_docxlayout,  # released DocXLayout_231012.pth
     "webrpg_vae": import_webrpg_vae,  # released element VAE
     "gem_markuplm": import_gem_markuplm,  # MarkupLM/GEM encoder
+    "vlpt": import_vlpt,          # released VLPT-STD pretrain ckpt
 }

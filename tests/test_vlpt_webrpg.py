@@ -14,8 +14,9 @@ from advancedliteratemachinery_tpu.models.webrpg import (
 )
 
 TINY_VLPT = VLPTConfig(embed_dim=32, vocab_size=200, max_text_len=16,
-                       text_layers=1, co_layers=1, heads=2, resnet_width=8,
-                       false_text_length=8)
+                       image_size=64, image_depth=1, text_depth=1,
+                       co_depth=1, heads=2, fpn_dim=8, resnet_base=4,
+                       resnet_blocks=(1, 1, 1, 1), false_text_length=8)
 
 
 def _vlpt_batch(B=2, T=16):
