@@ -352,11 +352,25 @@ def cmd_import_ckpt(args) -> int:
         v = m.init(jax.random.PRNGKey(0), batch)
         return dict(v)["params"], TORCH_IMPORTERS["gem_markuplm"]
 
+    def _vlpt():
+        from advancedliteratemachinery_tpu.models.vlpt import VLPT, VLPTConfig
+        cfg = VLPTConfig()
+        m = VLPT(cfg)
+        B, T = 1, cfg.max_text_len
+        batch = dict(
+            image=jnp.zeros((B, cfg.image_size, cfg.image_size, 3)),
+            text_ids=jnp.zeros((B, T), jnp.int32),
+            text_ids_mlm=jnp.zeros((B, T), jnp.int32),
+            text_labels_mlm=jnp.full((B, T), -100, jnp.int32),
+            text_masks=jnp.ones((B, T), jnp.int32))
+        v = m.init(jax.random.PRNGKey(0), batch)
+        return dict(v), TORCH_IMPORTERS["vlpt"]
+
     builders = {"mgp_str": _mgp, "lister": _lister, "levocr": _levocr,
                 "lore": _lore, "geolayoutlm_backbone": _geolayoutlm,
                 "geolayoutlm_vie": _geolayoutlm, "omniparser": _omniparser,
                 "vgt_cascade": _vgt, "docxlayout": _docxlayout,
-                "gem_markuplm": _gem}
+                "gem_markuplm": _gem, "vlpt": _vlpt}
     template, importer = builders[args.family]()
     sd = load_torch_state_dict(args.torch_ckpt)
     imported = importer(sd, jax.tree.map(np.asarray, template))
@@ -410,7 +424,7 @@ def main(argv=None) -> int:
                                       "geolayoutlm_backbone",
                                       "geolayoutlm_vie", "omniparser",
                                       "vgt_cascade", "docxlayout",
-                                      "gem_markuplm"])
+                                      "gem_markuplm", "vlpt"])
     p.add_argument("torch_ckpt")
     p.add_argument("out")
     p.add_argument("--variant", default="base")
