@@ -73,7 +73,7 @@ def _kernel(tok_ref, w_ref, b_ref, ids_ref, pmax_ref,
 
 def matmul_greedy_decode(tokens: jnp.ndarray, w: jnp.ndarray,
                          b: Optional[jnp.ndarray], true_vocab: int,
-                         tm: int = 1024, tv: int = 512,
+                         tm: int = 2048, tv: int = 512,
                          interpret: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """tokens [M, D] @ w [D, V] (+ b [V]) → (argmax ids [M] i32,
