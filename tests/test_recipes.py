@@ -175,7 +175,9 @@ class TestSmallRecipes:
 
         mesh = create_mesh(data=4, fsdp=2)
         cfg = VLPTConfig(embed_dim=32, vocab_size=200, max_text_len=16,
-                         false_text_length=8)
+                         image_size=64, image_depth=1, text_depth=1,
+                         co_depth=1, heads=2, fpn_dim=8, resnet_base=4,
+                         resnet_blocks=(1, 1, 1, 1), false_text_length=8)
         model = VLPT(cfg, policy=FP32_POLICY)
         rng = np.random.default_rng(0)
         B, T = 8, 16
