@@ -280,3 +280,87 @@ class SceneVTGProposer:
             for layout, word in split_words(p["layout"], p["text"]):
                 out.append({"layout": layout, "text": word})
         return out
+
+
+def rasterize_polygon_mask(poly: np.ndarray, hw: Tuple[int, int]
+                           ) -> np.ndarray:
+    """[N,2] polygon → float {0,1} mask [H, W] (PIL fill — the host-side
+    analog of the reference's cv2.fillPoly mask building)."""
+    from PIL import Image as _Image, ImageDraw
+
+    m = _Image.new("L", (hw[1], hw[0]), 0)
+    ImageDraw.Draw(m).polygon([(float(x), float(y)) for x, y in poly],
+                              fill=255)
+    return np.asarray(m, np.float32) / 255.0
+
+
+def render_text_template(text: str, hw: Tuple[int, int]) -> np.ndarray:
+    """Glyph-layout condition image [H, W, 3] in [0,1]: white text on
+    black, stretched to the region (the LVTR `images_render` conditioning
+    channel; the reference renders with a font file — PIL's built-in
+    bitmap font keeps this asset-free)."""
+    from PIL import Image as _Image, ImageDraw
+
+    canvas = _Image.new("L", (max(len(text) * 6, 1), 11), 0)
+    ImageDraw.Draw(canvas).text((0, 0), text, fill=255)
+    canvas = canvas.resize((hw[1], hw[0]), _Image.BILINEAR)
+    a = np.asarray(canvas, np.float32) / 255.0
+    return np.repeat(a[..., None], 3, axis=2)
+
+
+class SceneVTGPipeline:
+    """Full two-stage SceneVTG: TRCG region/content proposals → LVTR
+    diffusion rendering per region → composite (the reference runs
+    TRCG/inference.py then LVTR sampling over its outputs).
+
+    `proposer(image, questions) -> [{"layout", "text"}]` is a
+    SceneVTGProposer; `render_fn(conditions) -> [1, h, w, 3]` is the
+    injected jitted LVTR DDIM sampler; `encode_text(text) -> [L] ids`
+    maps contents into the renderer's charset.
+    """
+
+    def __init__(self, proposer, render_fn, encode_text,
+                 region_hw: Tuple[int, int] = (64, 256)):
+        self.proposer = proposer
+        self.render_fn = render_fn
+        self.encode_text = encode_text
+        self.region_hw = region_hw
+
+    def __call__(self, image: np.ndarray, questions) -> Dict:
+        import cv2
+
+        H, W = image.shape[:2]
+        proposals = self.proposer(image, questions)
+        out = np.asarray(image, np.float32).copy()
+        if out.max() > 1.5:
+            out = out / 255.0
+        rendered = []
+        rh, rw = self.region_hw
+        for prop in proposals:
+            poly = bezier_to_polygon(prop["layout"])
+            x0 = int(np.clip(poly[:, 0].min(), 0, W - 2))
+            x1 = int(np.clip(poly[:, 0].max(), x0 + 1, W))
+            y0 = int(np.clip(poly[:, 1].min(), 0, H - 2))
+            y1 = int(np.clip(poly[:, 1].max(), y0 + 1, H))
+            crop = out[y0:y1, x0:x1]
+            style = cv2.resize(crop, (rw, rh))
+            local = poly - np.asarray([[x0, y0]], np.float64)
+            scale = np.asarray([[rw / (x1 - x0), rh / (y1 - y0)]])
+            mask = rasterize_polygon_mask(local * scale, (rh, rw))[..., None]
+            removal = style * (1 - mask) + style.mean(axis=(0, 1)) * mask
+            conditions = {
+                "images_style": style[None],
+                "images_removal": removal[None],
+                "images_render": render_text_template(prop["text"],
+                                                      (rh, rw))[None],
+                "line_poly_mask": mask[None],
+                "word_poly_mask": mask[None],
+                "text_ids": np.asarray([self.encode_text(prop["text"])],
+                                       np.int32),
+            }
+            patch = np.asarray(self.render_fn(conditions))[0]
+            patch = cv2.resize(patch, (x1 - x0, y1 - y0))
+            m = rasterize_polygon_mask(local, (y1 - y0, x1 - x0))[..., None]
+            out[y0:y1, x0:x1] = out[y0:y1, x0:x1] * (1 - m) + patch * m
+            rendered.append({"text": prop["text"], "bbox": [x0, y0, x1, y1]})
+        return {"image": out, "regions": rendered}

@@ -132,3 +132,47 @@ class TestProposerEndToEnd:
                    ["where is text?", "give layouts"])
         assert len(calls) == 2
         assert [p["text"] for p in out] == ["stop", "sign"]
+
+
+class TestTwoStagePipeline:
+    def test_compose_with_stub_renderer(self):
+        from advancedliteratemachinery_tpu.pipelines.scenevtg import (
+            SceneVTGPipeline, rasterize_polygon_mask, render_text_template)
+
+        # stub proposer returning one straight region
+        lay = straight_layout(10, 10, 90, 10, 16)
+
+        def proposer(image, questions):
+            return [{"layout": lay, "text": "hi"}]
+
+        calls = {}
+
+        def render_fn(conditions):
+            calls.update({k: np.asarray(v).shape
+                          for k, v in conditions.items()})
+            return np.ones((1, 64, 256, 3), np.float32)  # pure white
+
+        pipe = SceneVTGPipeline(proposer, render_fn,
+                                encode_text=lambda t: [ord(c) % 90
+                                                       for c in t.ljust(8)])
+        img = np.zeros((128, 128, 3), np.float32)
+        out = pipe(img, ["q1", "q2"])
+
+        assert calls["images_style"] == (1, 64, 256, 3)
+        assert calls["line_poly_mask"] == (1, 64, 256, 1)
+        assert calls["text_ids"] == (1, 8)
+        # region became white, outside untouched
+        assert out["image"][18, 50].mean() > 0.9
+        assert out["image"][120, 120].mean() == 0.0
+        assert out["regions"][0]["text"] == "hi"
+
+    def test_mask_and_template_helpers(self):
+        from advancedliteratemachinery_tpu.pipelines.scenevtg import (
+            rasterize_polygon_mask, render_text_template)
+
+        m = rasterize_polygon_mask(
+            np.asarray([[0, 0], [10, 0], [10, 10], [0, 10]]), (20, 20))
+        assert m[5, 5] == 1.0 and m[15, 15] == 0.0
+        t = render_text_template("abc", (32, 64))
+        assert t.shape == (32, 64, 3)
+        assert t.max() > 0.5  # glyphs present
