@@ -64,3 +64,46 @@ class TestShardingRules:
         w = jnp.arange(64 * 128, dtype=jnp.float32).reshape(64, 128)
         sharded = shard_params({"w": w}, mesh)
         np.testing.assert_array_equal(np.asarray(sharded["w"]), np.asarray(w))
+
+
+class TestShardedInferenceEquivalence:
+    """tp+fsdp-sharded forward must produce the SAME numbers as the
+    replicated single-logical-device forward — the correctness property
+    behind serving a model-parallel engine (XLA inserts the collectives
+    from the shardings; no model code changes)."""
+
+    def test_mgp_str_tp_forward_matches_replicated(self):
+        import jax
+        import jax.numpy as jnp
+
+        from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+        from advancedliteratemachinery_tpu.models.mgp_str import (
+            MGPSTR, MGPSTRConfig)
+        from advancedliteratemachinery_tpu.models.vit import ViTConfig
+        from advancedliteratemachinery_tpu.parallel.mesh import (
+            batch_spec, create_mesh)
+        from advancedliteratemachinery_tpu.parallel.sharding import (
+            param_shardings)
+
+        cfg = MGPSTRConfig(
+            variant="tiny",
+            vit=ViTConfig(embed_dim=64, depth=1, num_heads=2),
+            vocab_pad_multiple=64)
+        model = MGPSTR(cfg, policy=FP32_POLICY)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (8, 32, 128, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x[:1])["params"]
+
+        want = jax.jit(lambda p, x: model.apply({"params": p}, x))(params, x)
+
+        mesh = create_mesh(data=2, fsdp=2, model=2)
+        # low threshold so the bpe/wp heads actually column-shard
+        shardings = param_shardings(params, mesh, tp_threshold=1024)
+        sharded = jax.device_put(params, shardings)
+        xb = jax.device_put(x, jax.sharding.NamedSharding(mesh, batch_spec()))
+        got = jax.jit(lambda p, x: model.apply({"params": p}, x))(sharded, xb)
+
+        for head in ("char", "bpe", "wp"):
+            np.testing.assert_allclose(np.asarray(got[head]),
+                                       np.asarray(want[head]),
+                                       rtol=2e-5, atol=2e-5)
