@@ -70,6 +70,58 @@ def rasterize_word_grid(input_ids: np.ndarray, bboxes: np.ndarray,
     return grid
 
 
+def readjust_bbox_coords(boxes, token_lists):
+    """Split each word's (x, y, w, h) box horizontally among its subword
+    tokens (reference object_detection/create_grid_input.py:57
+    readjust_bbox_coords)."""
+    out = []
+    for box, ids in zip(boxes, token_lists):
+        if len(ids) > 1:
+            w = box[2] / len(ids)
+            for i in range(len(ids)):
+                out.append((box[0] + i * w, box[1], w, box[3]))
+        else:
+            out.append((box[0], box[1], box[2], box[3]))
+    return out
+
+
+def build_grid_input(words, tokenize_fn):
+    """pdfplumber-style word dicts → the VGT grid dict (reference
+    create_grid_input.py:86 create_grid_dict): per-word tokenization
+    WITHOUT specials, subword-split boxes.
+
+    words: [{"text", "x0", "top", "x1", "bottom"}] (pdfplumber
+    extract_words keys); tokenize_fn(texts) -> list of id-lists.
+    Returns {"input_ids": [T], "bbox_subword_list": [T, 4] (x, y, w, h),
+    "texts": [N], "bbox_texts_list": [N, 4]}.
+    """
+    texts = [w["text"] for w in words]
+    word_boxes = [(w["x0"], w["top"], w["x1"] - w["x0"],
+                   w["bottom"] - w["top"]) for w in words]
+    token_lists = tokenize_fn(texts) if texts else []
+    sub_boxes = readjust_bbox_coords(word_boxes, token_lists)
+    flat_ids = [i for ids in token_lists for i in ids]
+    return {
+        "input_ids": np.asarray(flat_ids, np.int64),
+        "bbox_subword_list": np.asarray(sub_boxes, np.float64).reshape(-1, 4),
+        "texts": texts,
+        "bbox_texts_list": np.asarray(word_boxes, np.float64).reshape(-1, 4),
+    }
+
+
+def grid_ids_from_words(words, tokenize_fn, height: int, width: int,
+                        stride: int = 1) -> np.ndarray:
+    """Words → rasterized chargrid id map (build_grid_input +
+    rasterize_word_grid; boxes converted from (x, y, w, h) to xyxy)."""
+    g = build_grid_input(words, tokenize_fn)
+    if len(g["input_ids"]) == 0:
+        return np.zeros((height // stride, width // stride), np.int64)
+    b = g["bbox_subword_list"]
+    xyxy = np.stack([b[:, 0], b[:, 1], b[:, 0] + b[:, 2],
+                     b[:, 1] + b[:, 3]], axis=1)
+    return rasterize_word_grid(g["input_ids"], xyxy, height, width, stride)
+
+
 class WordGridEmbedding(nn.Module):
     """Embedding + projection of the rasterized id map
     (Wordnn_embedding.py:16; vocab 30552 per released configs)."""

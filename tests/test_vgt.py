@@ -60,3 +60,33 @@ class TestVGT:
         out = jax.jit(lambda v, i, g: m.apply(v, i, g))(variables, imgs, grid)
         assert out["hm"].shape == (1, 16, 16, 5)
         assert out["wh"].shape == (1, 16, 16, 8)
+
+
+class TestGridInput:
+    """create_grid_input.py parity: subword bbox splitting + grid dict."""
+
+    def test_readjust_splits_width_evenly(self):
+        from advancedliteratemachinery_tpu.models.vgt import (
+            readjust_bbox_coords)
+        out = readjust_bbox_coords([(10, 5, 30, 8)], [[101, 102, 103]])
+        assert len(out) == 3
+        assert out[0] == (10, 5, 10, 8)
+        assert out[1] == (20, 5, 10, 8)
+        assert out[2] == (30, 5, 10, 8)
+
+    def test_build_and_rasterize(self):
+        from advancedliteratemachinery_tpu.models.vgt import (
+            build_grid_input, grid_ids_from_words)
+
+        words = [{"text": "ab", "x0": 0, "top": 0, "x1": 8, "bottom": 4},
+                 {"text": "cd", "x0": 10, "top": 0, "x1": 14, "bottom": 4}]
+        tok = lambda texts: [[5, 6] if t == "ab" else [7] for t in texts]
+        g = build_grid_input(words, tok)
+        assert g["input_ids"].tolist() == [5, 6, 7]
+        assert g["bbox_subword_list"].shape == (3, 4)
+        assert g["texts"] == ["ab", "cd"]
+
+        grid = grid_ids_from_words(words, tok, height=8, width=16)
+        assert grid.shape == (8, 16)
+        assert grid[1, 1] == 5 and grid[1, 6] == 6 and grid[1, 12] == 7
+        assert grid[6, 1] == 0
