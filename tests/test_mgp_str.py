@@ -115,3 +115,23 @@ class TestFusedDecodeEquivalence:
             np.testing.assert_array_equal(a[f"{head}_ids"], b[f"{head}_ids"])
             np.testing.assert_allclose(a[f"{head}_conf"], b[f"{head}_conf"],
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestCharStrEngine:
+    def test_char_only_variant_through_engine(self):
+        from advancedliteratemachinery_tpu.codecs.char_codec import CharCodec
+        from advancedliteratemachinery_tpu.engine.infer import MGPSTRInference
+
+        cfg = MGPSTRConfig(variant="tiny", heads=("char",))
+        model = MGPSTR(cfg, policy=FP32_POLICY)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 128, 3)))["params"]
+        eng = MGPSTRInference(model, params, CharCodec(),
+                              input_dtype=jnp.float32)
+        assert eng._fused_heads == ()
+        out = eng(np.random.default_rng(0).integers(
+            0, 256, (2, 32, 128, 3), dtype=np.uint8))
+        assert out["char_ids"].shape == (2, 26)
+        res = eng.recognize(np.random.default_rng(1).integers(
+            0, 256, (2, 32, 128, 3), dtype=np.uint8))
+        assert len(res) == 2 and res[0][2] == "char"
