@@ -155,23 +155,38 @@ def train_bench():
     return B * iters / (time.perf_counter() - t0)
 
 
+def _retry(fn, attempts=3, wait_s=45):
+    """The axon TPU tunnel drops transiently (FAILED_PRECONDITION on any
+    op); a short backoff + retry usually recovers — cheap insurance so the
+    driver's end-of-round record survives a flaky window."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:          # noqa: BLE001 — backend errors vary
+            if i == attempts - 1:
+                raise
+            print(f"# bench stage failed ({type(e).__name__}); "
+                  f"retrying in {wait_s}s", flush=True)
+            time.sleep(wait_s)
+
+
 def main():
     baseline = 2000.0
-    rec_ips, (model, engine) = rec_only_bench()
+    rec_ips, (model, engine) = _retry(rec_only_bench)
     print(json.dumps({
         "metric": "mgp_str_base_infer_throughput",
         "value": round(rec_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(rec_ips / baseline, 3),
     }))
-    train_ips = train_bench()
+    train_ips = _retry(train_bench)
     print(json.dumps({
         "metric": "mgp_str_base_train_step_throughput",
         "value": round(train_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": None,   # the reference publishes no train throughput
     }))
-    e2e_ips = e2e_spotting_bench(model, engine)
+    e2e_ips = _retry(lambda: e2e_spotting_bench(model, engine))
     print(json.dumps({
         "metric": "e2e_spotting_throughput",
         "value": round(e2e_ips, 1),
