@@ -175,3 +175,73 @@ class MGPSTRInference:
                 cands.append((wp_strs[i], float(out["wp_conf"][i]), "wp"))
             results.append(max(cands, key=lambda c: c[1]))
         return results
+
+
+class LISTERInference:
+    """Batched LISTER recognition: device-side normalize → FocalNet +
+    neighbor decode → greedy ids + cumulative confidence; host-side
+    EosSeqCodec string decode (reference test.py:23 evaluate loop)."""
+
+    def __init__(self, model, params, codec=None, input_dtype=jnp.bfloat16):
+        from advancedliteratemachinery_tpu.codecs.seq_codec import EosSeqCodec
+
+        self.model = model
+        self.params = model.policy.cast_to_compute(params)
+        self.codec = codec or EosSeqCodec()
+        self.input_dtype = input_dtype
+
+        @jax.jit
+        def _run(params, images_u8):
+            x = normalize_crops(images_u8, dtype=input_dtype)
+            mask = jnp.ones(x.shape[:3], x.dtype)
+            res = model.apply({"params": params}, x, mask)
+            logits = res[-1]["logits"].astype(jnp.float32)   # [B, L, nC]
+            ids = jnp.argmax(logits, -1).astype(jnp.int32)
+            pmax = jnp.max(jax.nn.softmax(logits, -1), -1)
+            is_eos = ids == 0
+            any_eos = jnp.any(is_eos, axis=1)
+            eos_pos = jnp.argmax(is_eos, axis=1)
+            pos = jnp.arange(ids.shape[1])[None]
+            conf = jnp.prod(jnp.where(pos <= eos_pos[:, None], pmax, 1.0),
+                            axis=1)
+            return ids, jnp.where(any_eos, conf, 0.0)
+
+        self._run = _run
+
+    def recognize(self, images_u8: np.ndarray):
+        ids, conf = self._run(self.params, jnp.asarray(images_u8))
+        texts = self.codec.decode(np.asarray(ids))
+        return [(t, float(c), "lister") for t, c in zip(texts,
+                                                        np.asarray(conf))]
+
+
+class LevOCRInference:
+    """Batched LevOCR: vision prediction + Levenshtein refinement rounds →
+    token strings via the fairseq-style dictionary (reference eval.py:139
+    generate loop)."""
+
+    def __init__(self, model, params, dictionary=None,
+                 input_dtype=jnp.float32):
+        from advancedliteratemachinery_tpu.models.levocr import LevtDictionary
+
+        self.model = model
+        self.params = params
+        self.dictionary = dictionary or LevtDictionary(
+            max_len=model.config.max_len)
+        self.input_dtype = input_dtype
+
+        @jax.jit
+        def _run(variables, images_u8):
+            x = normalize_crops(images_u8, dtype=input_dtype)
+            out = model.apply(variables, x, method=model.refine)
+            return out["tokens"], out["scores"]
+
+        self._run = _run
+
+    def recognize(self, images_u8: np.ndarray, variables=None):
+        v = variables if variables is not None else self.params
+        tokens, scores = self._run(v, jnp.asarray(images_u8))
+        texts = self.dictionary.decode(np.asarray(tokens))
+        s = np.asarray(scores, np.float64)
+        conf = np.exp(np.where(np.isfinite(s), s, 0.0).mean(axis=-1))
+        return [(t, float(c), "levocr") for t, c in zip(texts, conf)]
