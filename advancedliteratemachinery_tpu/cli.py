@@ -73,11 +73,62 @@ def _mgp_engine(args):
     return MGPSTRInference(model, params, CharCodec())
 
 
+def _rec_engine(args):
+    """recognize --model {mgp_str,lister,levocr}: all three STR
+    recognizers share the recognize() -> [(text, conf, tag)] protocol."""
+    model_name = getattr(args, "model", "mgp_str")
+    if model_name == "mgp_str":
+        return _mgp_engine(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advancedliteratemachinery_tpu.engine.checkpoint import (
+        TORCH_IMPORTERS,
+        load_torch_state_dict,
+        restore_checkpoint,
+    )
+
+    if model_name == "lister":
+        from advancedliteratemachinery_tpu.engine.infer import LISTERInference
+        from advancedliteratemachinery_tpu.models.lister import (
+            LISTER, LISTERConfig)
+
+        m = LISTER(LISTERConfig(variant=args.variant))
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 128, 3)),
+                        jnp.ones((1, 32, 128)))["params"]
+        if getattr(args, "torch_ckpt", None):
+            params = TORCH_IMPORTERS["lister"](
+                load_torch_state_dict(args.torch_ckpt),
+                jax.tree.map(np.asarray, params))
+        elif getattr(args, "ckpt", None):
+            params = restore_checkpoint(args.ckpt, params)
+        return LISTERInference(m, params)
+
+    from advancedliteratemachinery_tpu.engine.infer import LevOCRInference
+    from advancedliteratemachinery_tpu.models.levocr import (
+        LevOCR, LevOCRConfig, LevtDictionary)
+
+    cfg = LevOCRConfig()
+    m = LevOCR(cfg)
+    d = LevtDictionary(max_len=cfg.max_len)
+    tok = jnp.asarray(d.encode([""]))
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 128, 3)),
+                       tok, tok, train=False)
+    if getattr(args, "torch_ckpt", None):
+        variables = TORCH_IMPORTERS["levocr"](
+            load_torch_state_dict(args.torch_ckpt),
+            jax.tree.map(np.asarray, dict(variables)))
+    elif getattr(args, "ckpt", None):
+        variables = restore_checkpoint(args.ckpt, dict(variables))
+    return LevOCRInference(m, variables)
+
+
 def cmd_recognize(args) -> int:
     import cv2
     import numpy as np
 
-    engine = _mgp_engine(args)
+    engine = _rec_engine(args)
     crops = []
     for path in args.images:
         img = _load_image(path)
@@ -387,9 +438,12 @@ def main(argv=None) -> int:
 
     sub.add_parser("models", help="list registered components")
 
-    for name, help_ in (("recognize", "recognize word crops (MGP-STR)"),):
+    for name, help_ in (("recognize",
+                         "recognize word crops (MGP-STR/LISTER/LevOCR)"),):
         p = sub.add_parser(name, help=help_)
         p.add_argument("images", nargs="+")
+        p.add_argument("--model", default="mgp_str",
+                       choices=["mgp_str", "lister", "levocr"])
         p.add_argument("--variant", default="tiny",
                        choices=["tiny", "small", "base", "large"])
         p.add_argument("--ckpt")
