@@ -282,6 +282,31 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_augment_preview(args) -> int:
+    """Apply every augmentation op to an image and write the results —
+    the reference's visual smoke test (OCR/MGP-STR/augmentation/test.py).
+    """
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from advancedliteratemachinery_tpu.data.augment import GROUPS
+
+    img = Image.fromarray(_load_image(args.image)).convert("RGB")
+    os.makedirs(args.out_dir, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    written = 0
+    for group, ops in GROUPS.items():
+        for op in ops:
+            name = type(op).__name__
+            out = op(img, mag=args.mag, rng=rng)
+            out.save(os.path.join(args.out_dir, f"{group}_{name}.png"))
+            written += 1
+    print(json.dumps({"out_dir": args.out_dir, "images": written}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -470,6 +495,13 @@ def main(argv=None) -> int:
     p.add_argument("--det-thresh", type=float, default=0.3)
     p.add_argument("--dpi", type=int, default=150)
 
+    p = sub.add_parser("augment-preview",
+                       help="apply every augmentation op to an image")
+    p.add_argument("image")
+    p.add_argument("--out-dir", default="augment_preview")
+    p.add_argument("--mag", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+
     sub.add_parser("bench", help="run the repo benchmark")
 
     p = sub.add_parser("import-ckpt",
@@ -487,6 +519,7 @@ def main(argv=None) -> int:
     return {"models": cmd_models, "recognize": cmd_recognize, "read": cmd_read,
             "structurize": cmd_structurize, "table": cmd_table,
             "convert": cmd_convert, "bench": cmd_bench,
+            "augment-preview": cmd_augment_preview,
             "import-ckpt": cmd_import_ckpt}[args.command](args)
 
 

@@ -46,3 +46,18 @@ def test_table_pipeline_with_stubbed_modules(monkeypatch, tmp_path):
     monkeypatch.setattr(cli, "_mgp_engine", lambda args: StubEngine())
 
     assert cli.main(["table", str(img)]) == 0
+
+
+def test_augment_preview_writes_all_ops(tmp_path):
+    import cv2
+    import numpy as np
+
+    img = tmp_path / "word.png"
+    cv2.imwrite(str(img), np.random.default_rng(0).integers(
+        0, 255, (32, 128, 3), dtype=np.uint8))
+    out_dir = tmp_path / "prev"
+    assert cli.main(["augment-preview", str(img),
+                     "--out-dir", str(out_dir)]) == 0
+    from advancedliteratemachinery_tpu.data.augment import GROUPS
+    n_ops = sum(len(v) for v in GROUPS.values())
+    assert len(list(out_dir.glob("*.png"))) == n_ops
