@@ -177,7 +177,7 @@ def cmd_read(args) -> int:
         TextRecognition,
     )
 
-    engine = _mgp_engine(args)
+    engine = _rec_engine(args)
     pipe = GeneralTextReading(TextDetection(_db_detect_fn(args)),
                               TextRecognition(engine.recognize))
     out = pipe(_load_image(args.image))
@@ -479,6 +479,8 @@ def main(argv=None) -> int:
                         ("table", "table parsing → cells + HTML")):
         p = sub.add_parser(name, help=help_)
         p.add_argument("image")
+        p.add_argument("--model", default="mgp_str",
+                       choices=["mgp_str", "lister", "levocr"])
         p.add_argument("--variant", default="tiny",
                        choices=["tiny", "small", "base", "large"])
         p.add_argument("--ckpt")
