@@ -197,7 +197,7 @@ def cmd_structurize(args) -> int:
         TextRecognition,
     )
 
-    engine = _mgp_engine(args)
+    engine = _rec_engine(args)
 
     def whole_page_layout(image):
         h, w = image.shape[:2]
@@ -223,7 +223,7 @@ def cmd_table(args) -> int:
         TextRecognition,
     )
 
-    engine = _mgp_engine(args)
+    engine = _rec_engine(args)
     pipe = TableParsing(TableStructureRecognition(_lore_table_fn(args)),
                         TextDetection(_db_detect_fn(args)),
                         TextRecognition(engine.recognize))
@@ -266,7 +266,7 @@ def cmd_convert(args) -> int:
         TextRecognition,
     )
 
-    engine = _mgp_engine(args)
+    engine = _rec_engine(args)
 
     def whole_page_layout(image):
         h, w = image.shape[:2]

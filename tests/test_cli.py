@@ -43,7 +43,7 @@ def test_table_pipeline_with_stubbed_modules(monkeypatch, tmp_path):
         def recognize(self, crops):
             return [("cell", 0.8, "char")] * len(crops)
 
-    monkeypatch.setattr(cli, "_mgp_engine", lambda args: StubEngine())
+    monkeypatch.setattr(cli, "_rec_engine", lambda args: StubEngine())
 
     assert cli.main(["table", str(img)]) == 0
 
