@@ -456,6 +456,135 @@ def cmd_import_ckpt(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Launch (or resume) a training run from LMDB sources.
+
+    Reference surface: MGP-STR train_final_dist.py:31-238 (source mixing,
+    iteration loop, valInterval validation + best tracking, periodic
+    checkpoints, log_train.txt) and LISTER train_dist.py:28 — composed here
+    from BalancedMixer → recipe → engine.fit.fit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advancedliteratemachinery_tpu.codecs.char_codec import CharCodec
+    from advancedliteratemachinery_tpu.codecs.seq_codec import EosSeqCodec
+    from advancedliteratemachinery_tpu.data.str_dataset import (
+        AlignCollate,
+        BalancedMixer,
+        ListerCollate,
+        LmdbStrDataset,
+    )
+    from advancedliteratemachinery_tpu.engine import batches as B
+    from advancedliteratemachinery_tpu.engine.fit import FitConfig, fit
+    from advancedliteratemachinery_tpu.engine.train import make_optimizer
+    from advancedliteratemachinery_tpu.eval.str_eval import benchmark_all_eval
+    from advancedliteratemachinery_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data=-1, fsdp=args.fsdp, model=args.tp)
+    L = args.batch_max_length
+
+    if args.model == "mgp_str":
+        from advancedliteratemachinery_tpu.engine.infer import MGPSTRInference
+        from advancedliteratemachinery_tpu.models.mgp_str import (
+            MGPSTR, MGPSTRConfig)
+
+        char_codec = CharCodec(batch_max_length=L)
+        charset = args.charset or char_codec.charset
+        bpe = wp = None
+        try:
+            from advancedliteratemachinery_tpu.codecs.subword import (
+                BpeCodec, WordpieceCodec)
+
+            bpe = BpeCodec.default(batch_max_length=L)
+            wp = WordpieceCodec.default(batch_max_length=L)
+        except FileNotFoundError:
+            print("[train] GPT-2/BERT vocab assets missing "
+                  "(scripts/fetch_vocabs.py) — bpe/wp heads train on "
+                  "pad-only targets (char head unaffected)")
+        cfg = MGPSTRConfig(variant=args.variant, batch_max_length=L)
+        model = MGPSTR(cfg)
+        params = model.init(jax.random.PRNGKey(args.seed),
+                            jnp.zeros((1, 32, 128, 3)))["params"]
+        if args.init_torch_ckpt:
+            from advancedliteratemachinery_tpu.engine.checkpoint import (
+                import_mgp_str, load_torch_state_dict)
+
+            params = import_mgp_str(load_torch_state_dict(args.init_torch_ckpt),
+                                    jax.tree.map(np.asarray, params))
+        datasets = [LmdbStrDataset(p, charset=charset, max_length=L)
+                    for p in args.train_data]
+        ratios = args.ratios or [1.0] * len(datasets)
+        mixer = BalancedMixer(datasets, ratios, args.batch_size,
+                              seed=args.seed)
+        batch_iter = B.mgp_str_batches(mixer, char_codec, bpe, wp,
+                                       AlignCollate())
+        loss_fn, _ = B.mgp_str_recipe_u8(model)
+        tx = make_optimizer(lr=args.lr, total_steps=args.steps, grad_clip=5.0,
+                            warmup_steps=args.warmup_steps)
+        engine = MGPSTRInference(model, params, char_codec, bpe, wp)
+
+        def eval_fn(state):
+            engine.params = model.policy.cast_to_compute(state.params)
+            return {"accuracy": benchmark_all_eval(
+                engine.recognize, args.val_data, charset=charset,
+                max_length=L, batch_size=args.batch_size)["total_accuracy"]}
+
+    elif args.model == "lister":
+        from advancedliteratemachinery_tpu.engine.infer import LISTERInference
+        from advancedliteratemachinery_tpu.models.lister import (
+            LISTER, LISTERConfig)
+
+        cfg = LISTERConfig(variant=args.variant, max_ch=L + 1)
+        codec = EosSeqCodec(max_ch=cfg.max_ch)
+        charset = args.charset or codec.charset
+        model = LISTER(cfg)
+        params = model.init(jax.random.PRNGKey(args.seed),
+                            jnp.zeros((1, 32, 128, 3)),
+                            jnp.ones((1, 32, 128)), train=True)["params"]
+        if args.init_torch_ckpt:
+            from advancedliteratemachinery_tpu.engine.checkpoint import (
+                TORCH_IMPORTERS, load_torch_state_dict)
+
+            params = TORCH_IMPORTERS["lister"](
+                load_torch_state_dict(args.init_torch_ckpt),
+                jax.tree.map(np.asarray, params))
+        datasets = [LmdbStrDataset(p, charset=charset, max_length=L)
+                    for p in args.train_data]
+        ratios = args.ratios or [1.0] * len(datasets)
+        mixer = BalancedMixer(datasets, ratios, args.batch_size,
+                              seed=args.seed)
+        batch_iter = B.lister_batches(mixer, codec, ListerCollate())
+        loss_fn, _ = B.lister_recipe_u8(model, cfg)
+        tx = make_optimizer(lr=args.lr, total_steps=args.steps,
+                            grad_clip=20.0, weight_decay=0.01,
+                            warmup_steps=args.warmup_steps)
+        engine = LISTERInference(model, params, codec)
+
+        def eval_fn(state):
+            engine.params = model.policy.cast_to_compute(state.params)
+            return {"accuracy": benchmark_all_eval(
+                engine.recognize, args.val_data, charset=charset,
+                max_length=L, batch_size=args.batch_size)["total_accuracy"]}
+    else:
+        raise SystemExit(f"unknown trainable model {args.model!r}")
+
+    fit_cfg = FitConfig(
+        total_steps=args.steps, log_interval=args.log_interval,
+        val_interval=args.val_interval if args.val_data else 0,
+        save_interval=args.save_interval, ckpt_dir=args.ckpt_dir,
+        resume=args.resume, seed=args.seed)
+    result = fit(loss_fn, tx, params, batch_iter, fit_cfg, mesh=mesh,
+                 eval_fn=eval_fn if args.val_data else None)
+    print(json.dumps({
+        "model": args.model, "steps_run": result.steps_run,
+        "best": result.best_metric,
+        "final_val": result.history[-1] if result.history else None,
+        "ckpt_dir": args.ckpt_dir,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="alm-tpu",
                                      description=__doc__.split("\n")[0])
@@ -506,6 +635,33 @@ def main(argv=None) -> int:
 
     sub.add_parser("bench", help="run the repo benchmark")
 
+    p = sub.add_parser("train", help="launch/resume a training run")
+    p.add_argument("model", choices=["mgp_str", "lister"])
+    p.add_argument("--train-data", nargs="+", required=True,
+                   help="LMDB source dirs (mixed per --ratios)")
+    p.add_argument("--ratios", nargs="+", type=float,
+                   help="per-source batch ratios (default: equal)")
+    p.add_argument("--val-data", nargs="+", default=[],
+                   help="LMDB eval dirs (benchmark_all_eval protocol)")
+    p.add_argument("--variant", default="base",
+                   choices=["tiny", "small", "base", "large"])
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--batch-max-length", type=int, default=25)
+    p.add_argument("--charset", help="override the codec charset")
+    p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--val-interval", type=int, default=2000)
+    p.add_argument("--save-interval", type=int, default=5000)
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel axis")
+    p.add_argument("--init-torch-ckpt",
+                   help="initialize from a reference torch checkpoint")
+
     p = sub.add_parser("import-ckpt",
                        help="convert a reference torch .pth → Orbax checkpoint")
     p.add_argument("family", choices=["mgp_str", "lister", "levocr", "lore",
@@ -520,7 +676,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     return {"models": cmd_models, "recognize": cmd_recognize, "read": cmd_read,
             "structurize": cmd_structurize, "table": cmd_table,
-            "convert": cmd_convert, "bench": cmd_bench,
+            "convert": cmd_convert, "bench": cmd_bench, "train": cmd_train,
             "augment-preview": cmd_augment_preview,
             "import-ckpt": cmd_import_ckpt}[args.command](args)
 

@@ -27,6 +27,7 @@ class EosSeqCodec:
     EOS_ID = 0
 
     def __init__(self, charset: str = LOWERCASE_DIGITS, max_ch: int = 36):
+        self.charset = charset
         self.itos = ["[EOS]"] + list(charset)
         self.stoi = {c: i for i, c in enumerate(self.itos)}
         self.max_ch = max_ch
@@ -67,6 +68,7 @@ class CtcCodec:
     BLANK_ID = 0
 
     def __init__(self, charset: str = LOWERCASE_DIGITS, max_ch: int = 36):
+        self.charset = charset
         self.itos = ["[BLK]"] + list(charset)
         self.stoi = {c: i for i, c in enumerate(self.itos)}
         self.max_ch = max_ch

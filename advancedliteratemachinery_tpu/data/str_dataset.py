@@ -103,6 +103,35 @@ class AlignCollate:
         return batch, labels
 
 
+@dataclasses.dataclass
+class ListerCollate:
+    """LISTER-style collation: keep-ratio resize into a fixed-width canvas
+    plus a validity mask over the real columns (reference LISTER
+    dataset/dataset.py pads variable-width crops and feeds the mask to the
+    masked FocalNet encoder)."""
+
+    img_h: int = 32
+    img_w: int = 128
+
+    def __call__(self, samples: Sequence[Tuple[np.ndarray, str]]
+                 ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+        import cv2
+
+        B = len(samples)
+        batch = np.zeros((B, self.img_h, self.img_w, 3), np.uint8)
+        mask = np.zeros((B, self.img_h, self.img_w), np.float32)
+        labels = []
+        for i, (img, label) in enumerate(samples):
+            if img.shape[-1] == 1:
+                img = np.repeat(img, 3, axis=-1)
+            h, w = img.shape[:2]
+            new_w = min(self.img_w, max(1, int(round(self.img_h * w / h))))
+            batch[i, :, :new_w] = cv2.resize(img, (new_w, self.img_h))
+            mask[i, :, :new_w] = 1.0
+            labels.append(label)
+        return batch, mask, labels
+
+
 class BalancedMixer:
     """Round-robin sampler mixing multiple sources at fixed per-source batch
     fractions (dataset.py:30 Batch_Balanced_Dataset, :95 get_batch)."""

@@ -131,7 +131,8 @@ class SpottingDecodeServer:
     def __init__(self, model, params, task: str = "rec", n_slots: int = 8,
                  max_steps: int = 32, eos_id: Optional[int] = 1,
                  pad_id: int = 0, logit_mask=None, mask_fn=None,
-                 poll_ms: float = 2.0):
+                 poll_ms: float = 2.0, mem_len: Optional[int] = None,
+                 max_prompt_len: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
@@ -143,6 +144,15 @@ class SpottingDecodeServer:
         self.eos_id = eos_id
         self.pad_id = pad_id
         self.poll = poll_ms / 1000.0
+        # Shape budget for mixed-size requests. Memories shorter than
+        # mem_len are zero-padded at submit time (mem_valid=0 → -1e9
+        # attention bias, so padding never contributes); prompts shorter
+        # than max_prompt_len reuse the one tick graph because the KV cache
+        # length is fixed at max_prompt_len + max_steps + 1 (only the tiny
+        # B=1 prefill compiles once per distinct prompt length). None =
+        # latch from the first request (single-shape serving).
+        self.mem_len = mem_len
+        self.max_prompt_len = max_prompt_len
         self._logit_mask = logit_mask  # [num_classes] additive, e.g. -1e9
         # step-dependent masking (e.g. OmniParser pt's coordinate/eos
         # alternation, transformer.py:110-116): mask_fn(pos_vec [B],
@@ -267,17 +277,29 @@ class SpottingDecodeServer:
                     return
                 memory, mem_pos, mem_valid, prompt_ids, fut = req
                 P = prompt_ids.shape[0]
-                shape_key = (P, memory.shape[0])
-                if getattr(self, "_shape_key", None) is None:
-                    self._shape_key = shape_key
-                elif shape_key != self._shape_key:
+                S = memory.shape[0]
+                if self.mem_len is None:
+                    self.mem_len = S
+                if self.max_prompt_len is None:
+                    self.max_prompt_len = P
+                if S > self.mem_len or P > self.max_prompt_len:
                     fut.set_exception(ValueError(
-                        f"SpottingDecodeServer serves fixed-shape requests: "
-                        f"(prompt_len, mem_len)={shape_key} != the server's "
-                        f"{self._shape_key} (pad inputs or run a second "
-                        f"server)"))
+                        f"request (prompt_len={P}, mem_len={S}) exceeds the "
+                        f"server budget (max_prompt_len="
+                        f"{self.max_prompt_len}, mem_len={self.mem_len}) — "
+                        f"construct the server with larger budgets"))
                     continue
-                cache_len = P + self.max_steps + 1
+                if S < self.mem_len:
+                    # pad to the bucket: zero memory rows with mem_valid=0
+                    # become -1e9 attention bias, contributing nothing
+                    padm = self.mem_len - S
+
+                    def _pad0(a):
+                        return _np.pad(a, [(0, padm)] + [(0, 0)] * (a.ndim - 1))
+
+                    memory, mem_pos, mem_valid = (
+                        _pad0(memory), _pad0(mem_pos), _pad0(mem_valid))
+                cache_len = self.max_prompt_len + self.max_steps + 1
                 last_logits, caches, mem_kvs, mem_bias = self._prefill(
                     self.params, memory[None], mem_pos[None], mem_valid[None],
                     prompt_ids[None], cache_len)
@@ -335,7 +357,10 @@ class SpottingService:
     """
 
     def __init__(self, model, params, n_slots: int = 8,
-                 poll_ms: float = 1.0):
+                 poll_ms: float = 1.0, mem_len: Optional[int] = None):
+        """mem_len: encoder-memory budget for mixed page sizes — smaller
+        pages are padded into the bucket (SpottingDecodeServer mem_len);
+        None serves only the first-seen page shape."""
         import jax
         import jax.numpy as jnp
 
@@ -377,15 +402,16 @@ class SpottingService:
         self.pt_server = SpottingDecodeServer(
             model, params, "pt", n_slots=n_slots, max_steps=c.pt_seq_length,
             eos_id=v.pt_eos_index, pad_id=v.padding_index, mask_fn=pt_mask,
-            poll_ms=poll_ms)
+            poll_ms=poll_ms, mem_len=mem_len)
         self.poly_server = SpottingDecodeServer(
             model, params, "poly", n_slots=n_slots * 4,
             max_steps=c.poly_length, eos_id=None, pad_id=v.padding_index,
-            logit_mask=poly_mask, poll_ms=poll_ms)
+            logit_mask=poly_mask, poll_ms=poll_ms, mem_len=mem_len)
         self.rec_server = SpottingDecodeServer(
             model, params, "rec", n_slots=n_slots * 4,
             max_steps=c.rec_length, eos_id=v.rec_eos_index,
-            pad_id=v.padding_index, logit_mask=rec_mask, poll_ms=poll_ms)
+            pad_id=v.padding_index, logit_mask=rec_mask, poll_ms=poll_ms,
+            mem_len=mem_len)
         self._started = False
 
     def start(self) -> "SpottingService":

@@ -78,6 +78,12 @@ def make_mutable_train_step(loss_fn: Callable, state: MutableTrainState,
                                                    batch, rng)
         return st.apply_gradients(grads, new_stats), metrics
 
+    if mesh.size == 1:
+        # plain jit on 1-device meshes (see engine.train.make_train_step:
+        # NamedShardings are no-ops there and pathological on axon)
+        jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        return jitted, shardings
+
     jitted = jax.jit(step_fn, in_shardings=(shardings, bspec, repl),
                      out_shardings=(shardings, repl),
                      donate_argnums=(0,) if donate else ())

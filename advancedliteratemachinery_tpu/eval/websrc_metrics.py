@@ -78,7 +78,7 @@ def evaluate_websrc(predictions: Dict[str, str],
     f1s: List[float] = []
     for qid, answers in golds.items():
         pred = predictions.get(qid, "")
-        ems.append(max(exact_match(pred, a) for a in answers))
-        f1s.append(max(token_f1(pred, a) for a in answers))
+        ems.append(max((exact_match(pred, a) for a in answers), default=0.0))
+        f1s.append(max((token_f1(pred, a) for a in answers), default=0.0))
     n = max(len(golds), 1)
     return {"exact_match": sum(ems) / n, "f1": sum(f1s) / n}

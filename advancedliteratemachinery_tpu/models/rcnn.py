@@ -228,9 +228,9 @@ class CascadeRCNN(nn.Module):
         c = self.config
         levels = [pyramid[k] for k in ("p2", "p3", "p4", "p5", "p6")]
         outs = self.rpn_head(levels)
-        all_boxes, all_scores = [], []
-        for (obj, deltas), f, stride, size in zip(
-                outs, levels, c.strides, c.anchor_sizes):
+        all_boxes, all_scores, all_levels = [], [], []
+        for lvl, ((obj, deltas), f, stride, size) in enumerate(zip(
+                outs, levels, c.strides, c.anchor_sizes)):
             H, W = f.shape[1], f.shape[2]
             A = len(c.aspects)
             anchors = jnp.asarray(grid_anchors((H, W), stride, size, c.aspects))
@@ -244,9 +244,17 @@ class CascadeRCNN(nn.Module):
             valid = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
             all_boxes.append(boxes)
             all_scores.append(jnp.where(valid, top, NEG))
+            all_levels.append(jnp.full((boxes.shape[0],), lvl, jnp.float32))
         boxes = jnp.concatenate(all_boxes, 0)
         scores = jnp.concatenate(all_scores, 0)
-        keep = box_nms(boxes, scores, c.rpn_nms_thresh)
+        lvl_ids = jnp.concatenate(all_levels, 0)
+        # detectron2's find_top_rpn_proposals runs batched_nms with the
+        # pyramid level as the category: boxes from different levels never
+        # suppress each other. Reproduce via the same coordinate-offset
+        # trick used for the final per-class NMS.
+        off = float(max(image_hw) + 1)
+        keep = box_nms(boxes + (lvl_ids * off)[:, None], scores,
+                       c.rpn_nms_thresh)
         scores = jnp.where(keep, scores, NEG)
         P = c.post_nms_topk
         top, idx = jax.lax.top_k(scores, min(P, scores.shape[0]))

@@ -124,6 +124,11 @@ def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int,
     if scale is None:
         scale = head_dim ** -0.5
     G = _choose_group(B, S, D)
+    if G == 0:
+        # Shapes exceed the VMEM budget (caller skipped supports_fused_qkv);
+        # fall back to the einsum formulation rather than a cryptic
+        # ZeroDivisionError from grid=(B // G,).
+        return _einsum_attention_from_qkv(qkv, num_heads, float(scale))
     kernel = functools.partial(
         _fused_qkv_kernel, num_heads=num_heads, head_dim=head_dim,
         scale=float(scale), safe=safe)

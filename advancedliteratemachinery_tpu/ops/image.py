@@ -48,7 +48,10 @@ def crop_rects(
     """
     P, H, W, C = images_u8.shape
     h, w = out_hw
-    ph, pw = patch_hw
+    # Clamp the slice window to the page size (sizes are static, so this is
+    # a trace-time decision) — a page smaller than patch_hw would otherwise
+    # fail dynamic_slice with "slice size exceeds operand".
+    ph, pw = min(patch_hw[0], H), min(patch_hw[1], W)
     q = quads.astype(jnp.float32)
     qx, qy = q[..., 0], q[..., 1]
     x0, x1 = qx.min(-1), qx.max(-1)

@@ -155,6 +155,24 @@ def train_bench():
     return B * iters / (time.perf_counter() - t0)
 
 
+def latency_bench(engine, batch: int = 1, iters: int = 60):
+    """p50/p99 per-image request latency (driver metric, BASELINE.md):
+    single-image submit → recognize → host result, each call synchronized,
+    i.e. what one serving request experiences with no co-batching."""
+    rng = np.random.default_rng(0)
+    im = rng.integers(0, 256, (batch, 32, 128, 3), dtype=np.uint8)
+    im_dev = jnp.asarray(im)
+    out = engine._run(engine.params, im_dev)     # compile the B=1 graph
+    np.asarray(out["char_ids"])
+    lats = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = engine._run(engine.params, im_dev)
+        np.asarray(out["char_ids"])              # sync (axon: np.asarray)
+        lats.append((time.perf_counter() - t0) * 1000.0)
+    return (float(np.percentile(lats, 50)), float(np.percentile(lats, 99)))
+
+
 def _retry(fn, attempts=3, wait_s=45):
     """The axon TPU tunnel drops transiently (FAILED_PRECONDITION on any
     op); a short backoff + retry usually recovers — cheap insurance so the
@@ -178,6 +196,14 @@ def main():
         "value": round(rec_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(rec_ips / baseline, 3),
+    }))
+    p50, p99 = _retry(lambda: latency_bench(engine))
+    print(json.dumps({
+        "metric": "mgp_str_base_p50_per_image_latency",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": None,   # BASELINE.md lists no latency target number
+        "p99_ms": round(p99, 3),
     }))
     train_ips = _retry(train_bench)
     print(json.dumps({

@@ -103,6 +103,43 @@ class TestDecodeServer:
         # 2 slots, 5 requests → slots must have been reused
         assert server.stats["ticks"] >= max(len(e) for e in expected)
 
+    def test_mixed_shapes_served_via_bucketing(self, setup):
+        """Requests with different (prompt_len, mem_len) — real document
+        batches have varying page sizes — decode identically to the
+        per-request sequential oracle when the server is built with shape
+        budgets (zero-padded memory + fixed cache length)."""
+        model, params, _, nc = setup
+        max_steps = 8
+
+        def make_sized(seed, s, plen):
+            r = np.random.default_rng(seed)
+            memory = r.standard_normal((s, CFG.d_model)).astype(np.float32)
+            mem_pos = r.standard_normal((s, CFG.d_model)).astype(np.float32)
+            mem_valid = np.ones((s,), np.float32)
+            prompt = r.integers(2, nc, (plen,)).astype(np.int32)
+            return memory, mem_pos, mem_valid, prompt
+
+        reqs = [make_sized(11, 6, 3), make_sized(12, 4, 3),
+                make_sized(13, 6, 2), make_sized(14, 3, 1)]
+        expected = [reference_decode(model, params, r, max_steps)
+                    for r in reqs]
+        assert any(len(e) > 0 for e in expected)
+
+        server = SpottingDecodeServer(model, params, task="rec", n_slots=2,
+                                      max_steps=max_steps, eos_id=EOS,
+                                      pad_id=PAD, mem_len=6,
+                                      max_prompt_len=3).start()
+        try:
+            futs = [server.submit(*r) for r in reqs]
+            results = [f.result(timeout=120) for f in futs]
+            # over-budget requests get a clear error, not a crash
+            with pytest.raises(ValueError, match="exceeds the server budget"):
+                server.submit(*make_sized(15, 9, 3)).result(timeout=30)
+        finally:
+            server.stop()
+        for got, want in zip(results, expected):
+            assert got == want, (got, want)
+
     def test_step_ragged_equals_scalar_step(self, setup):
         model, params, make_request, nc = setup
         memory, mem_pos, mem_valid, prompt = make_request(7)
