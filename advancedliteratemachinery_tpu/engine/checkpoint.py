@@ -1665,6 +1665,249 @@ def import_omniparser(sd: Dict[str, np.ndarray], params: Dict,
                         _validate_shapes(params, out, "import_omniparser"))
 
 
+def _inv_hf_rope_permute(w: np.ndarray, n_heads: int) -> np.ndarray:
+    """Undo the HF llama conversion's q/k row permutation.
+
+    HF checkpoints store W_q/W_k reordered for the rotate_half rotary
+    formulation (convert_llama_weights_to_hf.py permute()); our rotary is
+    the original interleaved form, so imported rows must be permuted back.
+    """
+    out_dim, in_dim = w.shape
+    hd = out_dim // n_heads
+    return w.reshape(n_heads, 2, hd // 2, in_dim).transpose(0, 2, 1, 3) \
+            .reshape(out_dim, in_dim)
+
+
+def import_trcg(sd: Dict[str, np.ndarray], params: Dict,
+                merge_lora: bool = True,
+                lora_scale: Optional[float] = None,
+                n_heads: int = 32) -> Dict:
+    """Map the released TRCG stack onto models/trcg.py: vicuna-7B LLaMA
+    (reference TRCG/llava/model/language_model/llava_llama.py — HF key
+    layout model.layers.{i}.self_attn/mlp/input_layernorm/...), the CLIP
+    ViT-L/14-336 vision tower (llava_arch.py build_vision_tower; HF keys
+    model.vision_tower.vision_tower.vision_model...), the mlp2x_gelu
+    mm_projector (model.mm_projector.{0,2}), and PEFT LoRA adapters from
+    the finetune (scripts/finetune_flash_attn.sh lora_r 128).
+
+    merge_lora=True folds adapters into the base kernels
+    (W ← W + α/r · BᵀAᵀ in kernel layout — PEFT merge semantics); with
+    False they map onto LoRADense's lora_A/lora_B so training can resume.
+    """
+    out = jax.tree.map(np.asarray, params)
+    # normalize PEFT prefixes: base_model.model.<k> → <k>; strip the
+    # ".base_layer" wrapper PEFT inserts on adapted Linears
+    norm = {}
+    for k, v in sd.items():
+        if k.startswith("base_model.model."):
+            k = k[len("base_model.model."):]
+        k = k.replace(".base_layer.", ".")
+        k = k.replace(".lora_A.default.", ".lora_A.")   # newer PEFT adds
+        k = k.replace(".lora_B.default.", ".lora_B.")   # the adapter name
+        norm[k] = _t(v)
+    p = _TrackingDict(norm)
+
+    def lin_t(dst, t, key="kernel"):
+        dst[key] = linear_kernel(p[t + ".weight"])
+        if t + ".bias" in norm:
+            dst["bias"] = p[t + ".bias"]
+
+    def rms(dst, t):
+        dst["scale"] = p[t + ".weight"]
+
+    # ---- language model ----
+    out["embed_tokens"]["embedding"] = p["model.embed_tokens.weight"]
+    n_layers = len([k for k in norm
+                    if re.fullmatch(r"model\.layers\.\d+\.self_attn\.q_proj"
+                                    r"\.weight", k)])
+    for i in range(n_layers):
+        t = f"model.layers.{i}"
+        dst = out[f"layer_{i}"]
+        rms(dst["attn_norm"], f"{t}.input_layernorm")
+        rms(dst["ffn_norm"], f"{t}.post_attention_layernorm")
+        for name in ("q_proj", "k_proj", "v_proj"):
+            w = p[f"{t}.self_attn.{name}.weight"]
+            la = f"{t}.self_attn.{name}.lora_A.weight"
+            lb = f"{t}.self_attn.{name}.lora_B.weight"
+            has_lora = la in norm
+            rotary_rows = name in ("q_proj", "k_proj")
+            node = dst[name]
+            tgt = node["base"] if "base" in node else node
+            if has_lora and merge_lora:
+                A, B = p[la], p[lb]          # [r, in], [out, r]
+                # PEFT merge: W ← W + (α/r)·B·A, in the HF layout the
+                # adapters were trained against, BEFORE the rotary
+                # row-permutation. α is not stored in the sd; the
+                # reference finetune uses α=2r (lora_r 128, lora_alpha
+                # 256) — override via lora_scale.
+                scale = 2.0 if lora_scale is None else lora_scale
+                w = w + scale * (B @ A)
+                if rotary_rows:
+                    w = _inv_hf_rope_permute(w, n_heads)
+                tgt["kernel"] = linear_kernel(w)
+            else:
+                if rotary_rows:
+                    w = _inv_hf_rope_permute(w, n_heads)
+                tgt["kernel"] = linear_kernel(w)
+                if has_lora and "lora_A" in node:
+                    B = p[lb]
+                    if rotary_rows:   # B's rows live in the out dimension
+                        B = _inv_hf_rope_permute(B, n_heads)
+                    node["lora_A"] = p[la].T     # [in, r]
+                    node["lora_B"] = B.T         # [r, out]
+        lin_t(dst["o_proj"], f"{t}.self_attn.o_proj")
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            lin_t(dst[name], f"{t}.mlp.{name}")
+    rms(out["final_norm"], "model.norm")
+    lin_t(out["lm_head"], "lm_head")
+
+    # ---- mm projector (mlp2x_gelu: Linear, GELU, Linear) ----
+    lin_t(out["mm_projector_fc1"], "model.mm_projector.0")
+    lin_t(out["mm_projector_fc2"], "model.mm_projector.2")
+
+    # ---- CLIP vision tower ----
+    vt = "model.vision_tower.vision_tower.vision_model"
+    if f"{vt}.embeddings.class_embedding" in norm and "vision_tower" in out:
+        dst = out["vision_tower"]
+        dst["class_embedding"] = p[f"{vt}.embeddings.class_embedding"]
+        dst["position_embedding"] = \
+            p[f"{vt}.embeddings.position_embedding.weight"]
+        dst["patch_embedding"]["kernel"] = \
+            p[f"{vt}.embeddings.patch_embedding.weight"].transpose(2, 3, 1, 0)
+        dst["pre_layrnorm"]["scale"] = p[f"{vt}.pre_layrnorm.weight"]
+        dst["pre_layrnorm"]["bias"] = p[f"{vt}.pre_layrnorm.bias"]
+        i = 0
+        while f"layers_{i}_norm1" in dst:
+            t = f"{vt}.encoder.layers.{i}"
+            for ln, src in (("norm1", "layer_norm1"), ("norm2", "layer_norm2")):
+                dst[f"layers_{i}_{ln}"]["scale"] = p[f"{t}.{src}.weight"]
+                dst[f"layers_{i}_{ln}"]["bias"] = p[f"{t}.{src}.bias"]
+            for d, s in (("q", "self_attn.q_proj"), ("k", "self_attn.k_proj"),
+                         ("v", "self_attn.v_proj"),
+                         ("out", "self_attn.out_proj"),
+                         ("fc1", "mlp.fc1"), ("fc2", "mlp.fc2")):
+                lin_t(dst[f"layers_{i}_{d}"], f"{t}.{s}")
+            i += 1
+        # under select_layer=-2 the final encoder layer(s) and the
+        # post_layernorm never run (clip_encoder.py feature_select) —
+        # consume their keys deliberately so they don't read as
+        # accidentally-skipped weights
+        for k in list(norm):
+            if (k.startswith(f"{vt}.post_layernorm")
+                    or (k.startswith(f"{vt}.encoder.layers.")
+                        and int(k[len(f"{vt}.encoder.layers."):]
+                                .split(".")[0]) >= i)):
+                _ = p[k]
+
+    _warn_unused(p, "import_trcg")
+    return jax.tree.map(jnp.asarray,
+                        _validate_shapes(params, out, "import_trcg"))
+
+
+def import_lvtr(sd: Dict[str, np.ndarray], params: Dict) -> Dict:
+    """Map a released LVTR decoder checkpoint (reference
+    train_lvtr.py:350-360 accelerate save of the dalle2-pytorch Decoder;
+    Unet under `unets.0.`, dalle2_pytorch.py:1281 at the cfgs_lvtr.py
+    config) onto models/lvtr.py LVTRDalleUnet.
+
+    Decoder-level pieces outside the Unet (frozen ExCTC recognizer copy,
+    attention poolers, text position table, noise-scheduler buffers, null
+    VAEs) are consumed deliberately — the flax side reimplements the
+    schedule analytically and takes the recognizer via its own importer.
+    """
+    out = jax.tree.map(np.asarray, params)
+    p = _TrackingDict({k: _t(v) for k, v in sd.items()})
+    U = "unets.0."
+
+    def conv(dst, t):
+        dst["kernel"] = p[t + ".weight"].transpose(2, 3, 1, 0)
+        if t + ".bias" in p:
+            dst["bias"] = p[t + ".bias"]
+
+    def lin(dst, t):
+        dst["kernel"] = linear_kernel(p[t + ".weight"])
+        if t + ".bias" in p:
+            dst["bias"] = p[t + ".bias"]
+
+    def norm(dst, t, g_only=False):
+        if g_only:
+            dst["scale"] = p[t + ".g"]
+        else:
+            dst["scale"] = p[t + ".weight"]
+            dst["bias"] = p[t + ".bias"]
+
+    def attn(dst, t):
+        norm(dst["norm"], f"{t}.norm", g_only=True)
+        dst["to_q"]["kernel"] = linear_kernel(p[f"{t}.to_q.weight"])
+        dst["to_kv"]["kernel"] = linear_kernel(p[f"{t}.to_kv.weight"])
+        dst["to_out"]["kernel"] = linear_kernel(p[f"{t}.to_out.0.weight"])
+        norm(dst["out_norm"], f"{t}.to_out.1", g_only=True)
+        dst["null_kv"] = p[f"{t}.null_kv"]
+
+    def resblock(dst, t):
+        lin(dst["time_mlp"], f"{t}.time_mlp.1")
+        conv(dst["block1_conv"], f"{t}.block1.project")
+        norm(dst["block1_norm"], f"{t}.block1.norm")
+        if "cross_attn" in dst:
+            attn(dst["cross_attn"], f"{t}.cross_attn")
+        conv(dst["block2_conv"], f"{t}.block2.project")
+        norm(dst["block2_norm"], f"{t}.block2.norm")
+        if "res_conv" in dst:
+            conv(dst["res_conv"], f"{t}.res_conv")
+
+    n_init = len([k for k in p
+                  if re.fullmatch(rf"{re.escape(U)}init_conv\.convs\.\d+"
+                                  r"\.weight", k)])
+    for i in range(n_init):
+        conv(out[f"init_conv_{i}"], f"{U}init_conv.convs.{i}")
+    lin(out["to_time_hiddens"], f"{U}to_time_hiddens.1")
+    lin(out["to_time_tokens"], f"{U}to_time_tokens.0")
+    lin(out["to_time_cond"], f"{U}to_time_cond.0")
+    lin(out["image_to_tokens"], f"{U}image_to_tokens.0")
+    lin(out["to_image_hiddens"], f"{U}to_image_hiddens.0")
+    lin(out["text_to_cond"], f"{U}text_to_cond")
+    norm(out["norm_cond"], f"{U}norm_cond")
+    norm(out["norm_mid_cond"], f"{U}norm_mid_cond")
+    out["null_text_embed"] = p[f"{U}null_text_embed"][0]
+
+    n_stages = len({int(k[len(U) + 6:].split(".")[0]) for k in p
+                    if k.startswith(f"{U}downs.")})
+    n_blocks = len({int(k.split(".")[5]) for k in p
+                    if k.startswith(f"{U}downs.0.2.")})
+    for s in range(n_stages):
+        resblock(out[f"downs_{s}_init"], f"{U}downs.{s}.1")
+        for j in range(n_blocks):
+            resblock(out[f"downs_{s}_block{j}"], f"{U}downs.{s}.2.{j}")
+        if f"{U}downs.{s}.4.1.weight" in p:        # Rearrange + 1x1 conv
+            conv(out[f"downs_{s}_ds"], f"{U}downs.{s}.4.1")
+        else:                                       # last stage: plain 1x1
+            conv(out[f"downs_{s}_ds"], f"{U}downs.{s}.4")
+    resblock(out["mid_block1"], f"{U}mid_block1")
+    attn(out["mid_attn"], f"{U}mid_attn.fn.fn")
+    resblock(out["mid_block2"], f"{U}mid_block2")
+    for s in range(n_stages):
+        resblock(out[f"ups_{s}_init"], f"{U}ups.{s}.0")
+        for j in range(n_blocks):
+            resblock(out[f"ups_{s}_block{j}"], f"{U}ups.{s}.1.{j}")
+        if f"{U}ups.{s}.3.net.0.weight" in p:      # PixelShuffleUpsample
+            conv(out[f"ups_{s}_us"], f"{U}ups.{s}.3.net.0")
+    resblock(out["final_resnet_block"], f"{U}final_resnet_block")
+    conv(out["to_out"], f"{U}to_out")
+
+    # deliberately-consumed decoder-level extras (see docstring)
+    for k in list(p):
+        if (k.startswith(("recognizer.", "attn_pooling", "abs_pos_emb_text",
+                          "noise_schedulers.", "vaes.", "lowres_conds."))
+                or k in (f"{U}null_image_embed", f"{U}null_image_hiddens",
+                         f"{U}null_imagestyle_embed",
+                         f"{U}word_embedding.weight")):
+            _ = p[k]
+
+    _warn_unused(p, "import_lvtr")
+    return jax.tree.map(jnp.asarray,
+                        _validate_shapes(params, out, "import_lvtr"))
+
+
 TORCH_IMPORTERS: Dict[str, Callable] = {
     "mgp_str": import_mgp_str,
     "swin": import_swin,
@@ -1684,4 +1927,6 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "webrpg_vae": import_webrpg_vae,  # released element VAE
     "gem_markuplm": import_gem_markuplm,  # MarkupLM/GEM encoder
     "vlpt": import_vlpt,          # released VLPT-STD pretrain ckpt
+    "trcg": import_trcg,          # vicuna-7B + CLIP-L/14-336 + projector
+    "lvtr": import_lvtr,          # dalle2-pytorch Decoder → LVTRDalleUnet
 }

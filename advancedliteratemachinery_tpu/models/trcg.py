@@ -72,17 +72,119 @@ def rotary(x: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
 
 
 @dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig(ConfigBase):
+    """HF CLIPVisionModel shape (released tower: CLIP ViT-L/14-336)."""
+
+    image_size: int = 336
+    patch_size: int = 14
+    hidden_size: int = 1024
+    layers: int = 24
+    heads: int = 16
+    intermediate: int = 4096
+    select_layer: int = -2     # llava mm_vision_select_layer (hidden_states idx)
+
+    @property
+    def num_positions(self) -> int:
+        return (self.image_size // self.patch_size) ** 2 + 1
+
+
+def _quick_gelu(x):
+    """CLIP's activation: x * sigmoid(1.702 x) (HF quick_gelu)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPVisionTower(nn.Module):
+    """Faithful CLIP vision transformer for the released TRCG stack
+    (reference llava/model/multimodal_encoder/clip_encoder.py: HF
+    CLIPVisionModel, feature_select takes hidden_states[select_layer] and
+    drops CLS — so with select_layer=-2 the last encoder layer and the
+    post-layernorm never run)."""
+
+    config: CLIPVisionConfig
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, pixels, deterministic: bool = True):
+        """pixels [B, H, W, 3] → patch features [B, P, D]."""
+        c, p = self.config, self.policy
+        D = c.hidden_size
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (D,), p.param_dtype)
+        x = nn.Conv(D, (c.patch_size, c.patch_size),
+                    strides=(c.patch_size, c.patch_size), use_bias=False,
+                    dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                    name="patch_embedding")(pixels.astype(p.compute_dtype))
+        B = x.shape[0]
+        x = x.reshape(B, -1, D)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (B, 1, D)), x], axis=1)
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (c.num_positions, D), p.param_dtype)
+        x = x + pos.astype(x.dtype)[None]
+        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
+                         name="pre_layrnorm")(x).astype(p.compute_dtype)
+        # hidden_states[0] is the pre-layrnorm output; [i+1] is after layer
+        # i — run exactly the layers needed to reach select_layer
+        n_run = c.layers + 1 + c.select_layer if c.select_layer < 0 \
+            else c.select_layer
+        H, hd = c.heads, D // c.heads
+        for i in range(n_run):
+            h = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
+                             name=f"layers_{i}_norm1")(x).astype(
+                                 p.compute_dtype)
+            q = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                         name=f"layers_{i}_q")(h).reshape(B, -1, H, hd)
+            k = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                         name=f"layers_{i}_k")(h).reshape(B, -1, H, hd)
+            v = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                         name=f"layers_{i}_v")(h).reshape(B, -1, H, hd)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (hd ** 0.5)
+            a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, -1, D)
+            x = x + nn.Dense(D, dtype=p.compute_dtype,
+                             param_dtype=p.param_dtype,
+                             name=f"layers_{i}_out")(o)
+            h = nn.LayerNorm(dtype=jnp.float32, param_dtype=p.param_dtype,
+                             name=f"layers_{i}_norm2")(x).astype(
+                                 p.compute_dtype)
+            h = nn.Dense(c.intermediate, dtype=p.compute_dtype,
+                         param_dtype=p.param_dtype,
+                         name=f"layers_{i}_fc1")(h)
+            h = nn.Dense(D, dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                         name=f"layers_{i}_fc2")(_quick_gelu(h))
+            x = x + h
+        return x[:, 1:]    # feature_select 'patch': drop CLS
+
+
+@dataclasses.dataclass(frozen=True)
 class TRCGConfig(ConfigBase):
     vocab_size: int = 32000
     hidden_size: int = 256
     num_layers: int = 4
     heads: int = 4
     max_seq: int = 512
+    intermediate: Optional[int] = None  # SwiGLU width; None = 4*hidden
+                                        # (vicuna-7B: 11008, not 4*4096)
     lora_rank: int = 0                 # 128 in the reference finetune
     lora_alpha: float = 256.0
+    use_clip_tower: bool = False       # released stack: faithful CLIP-L/14
+    clip: CLIPVisionConfig = CLIPVisionConfig()
     vision: ViTConfig = ViTConfig(img_size=(224, 224), patch_size=16,
                                   embed_dim=256, depth=4, num_heads=4,
                                   apply_final_norm=True)
+
+    @property
+    def ffn_dim(self) -> int:
+        return self.intermediate or 4 * self.hidden_size
+
+    @classmethod
+    def released(cls, lora_rank: int = 0) -> "TRCGConfig":
+        """The released TRCG stack: vicuna-7B LLaMA + CLIP ViT-L/14-336
+        (reference scripts/finetune_flash_attn.sh, llava_arch.py)."""
+        return cls(vocab_size=32000, hidden_size=4096, num_layers=32,
+                   heads=32, max_seq=2048, intermediate=11008,
+                   lora_rank=lora_rank, lora_alpha=256.0,
+                   use_clip_tower=True, clip=CLIPVisionConfig())
 
 
 class LlamaBlock(nn.Module):
@@ -104,10 +206,11 @@ class LlamaBlock(nn.Module):
                                param_dtype=p.param_dtype)
         self.ffn_norm = nn.RMSNorm(dtype=jnp.float32,
                                    param_dtype=p.param_dtype)
-        self.gate_proj = nn.Dense(4 * D, use_bias=False,
+        self.gate_proj = nn.Dense(cfg.ffn_dim, use_bias=False,
                                   dtype=p.compute_dtype,
                                   param_dtype=p.param_dtype)
-        self.up_proj = nn.Dense(4 * D, use_bias=False, dtype=p.compute_dtype,
+        self.up_proj = nn.Dense(cfg.ffn_dim, use_bias=False,
+                                dtype=p.compute_dtype,
                                 param_dtype=p.param_dtype)
         self.down_proj = nn.Dense(D, use_bias=False, dtype=p.compute_dtype,
                                   param_dtype=p.param_dtype)
@@ -177,7 +280,10 @@ class TRCG(nn.Module):
 
     def setup(self):
         cfg, p = self.config, self.policy
-        self.vision_tower = VisionTransformer(cfg.vision, policy=p)
+        if cfg.use_clip_tower:
+            self.vision_tower = CLIPVisionTower(cfg.clip, policy=p)
+        else:
+            self.vision_tower = VisionTransformer(cfg.vision, policy=p)
         self.mm_projector_fc1 = nn.Dense(cfg.hidden_size,
                                          dtype=p.compute_dtype,
                                          param_dtype=p.param_dtype)
@@ -197,7 +303,9 @@ class TRCG(nn.Module):
     def _prefix(self, images, input_ids, deterministic):
         """Image tokens prepended to the embedded text (llava_arch.py
         prepare_inputs_for_multimodal)."""
-        vis = self.vision_tower(images, deterministic=deterministic)[:, 1:]
+        vis = self.vision_tower(images, deterministic=deterministic)
+        if not self.config.use_clip_tower:
+            vis = vis[:, 1:]      # CLIP tower already drops CLS ('patch')
         vis = self.mm_projector_fc2(_gelu(self.mm_projector_fc1(vis)))
         tok = self.embed_tokens(input_ids)
         return jnp.concatenate([vis, tok.astype(vis.dtype)], axis=1)

@@ -73,15 +73,21 @@ def _fused_qkv_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int,
             o_ref[g, :, lo:lo + head_dim] = o.astype(o_ref.dtype)
 
 
-def _choose_group(batch: int, seq: int, dim: int) -> int:
-    """Largest G in {2, 1} whose blocks fit the VMEM budget."""
+def _choose_group(batch: int, seq: int, dim: int,
+                  n_score_bufs: int = 2, n_io_blocks: int = 4) -> int:
+    """Largest G in {2, 1} whose blocks fit the VMEM budget.
+
+    n_score_bufs: live [S, S] f32 intermediates (forward: scores + exp =
+    2; backward: scores/probs/dp/ds ≈ 5). n_io_blocks: double-buffered
+    IO block volume in units of [G, S, D] bf16 (forward: qkv in + out =
+    4D worth; backward adds the dout input and dqkv output = 7D)."""
     s_pad = _round_up(seq, 8)
     k_pad = _round_up(seq, 128)
-    scores = s_pad * k_pad * 4 * 2  # f32 scores + exp intermediate
+    scores = s_pad * k_pad * 4 * n_score_bufs
     for g in (2, 1):
         if batch % g:
             continue
-        blocks = g * seq * 4 * dim * 2  # in [G,S,3D] + out [G,S,D], bf16
+        blocks = g * seq * n_io_blocks * dim * 2 * 2   # bf16, double-buffer
         if blocks + scores <= _VMEM_BUDGET:
             return g
     return 0
@@ -113,10 +119,11 @@ def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int,
     `nn.Dense(3*D)` with imported timm weights produces). Returns [B, S, D].
     Use `supports_fused_qkv` to check shape eligibility first.
 
-    Differentiable: the backward pass recomputes attention through the
-    einsum formulation and uses its VJP (flash-attention-style recompute —
-    Pallas kernels have no automatic reverse rule), so the same module
-    works in train and inference graphs.
+    Differentiable: the backward pass is a Pallas recompute kernel
+    (_fused_qkv_bwd_kernel) that rebuilds the probabilities in VMEM and
+    applies the analytic softmax VJP — no [B, H, S, S] tensor touches HBM
+    in either direction. Falls back to the einsum VJP on CPU or when the
+    backward working set exceeds VMEM.
     """
     B, S, threeD = qkv.shape
     D = threeD // 3
@@ -155,12 +162,95 @@ def _fused_qkv_fwd(qkv, num_heads, scale, safe, interpret):
     return fused_qkv_attention(qkv, num_heads, scale, safe, interpret), qkv
 
 
+def _fused_qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
+                          head_dim: int, scale: float):
+    """Flash-style recompute backward entirely in VMEM.
+
+    blocks: qkv [G, S, 3D], do [G, S, D] → dqkv [G, S, 3D]. Recomputes the
+    [S, S] probabilities per (g, h) and applies the analytic softmax VJP:
+        dV = Pᵀ·dO;  dP = dO·Vᵀ;  dS = P ⊙ (dP − rowsum(dP ⊙ P));
+        dQ = dS·K·scale;  dK = dSᵀ·Q·scale.
+    The einsum VJP this replaces round-trips two [B, H, S, S] tensors
+    through HBM per layer (probs saved forward-in-backward + dP); here
+    nothing bigger than [S, hd] ever leaves VMEM.
+    """
+    G = qkv_ref.shape[0]
+    D = num_heads * head_dim
+    for g in range(G):
+        x = qkv_ref[g]
+        do = do_ref[g]
+        for h in range(num_heads):
+            lo = h * head_dim
+            qs = x[:, lo:lo + head_dim] * scale          # pre-scaled Q
+            kh = x[:, D + lo: D + lo + head_dim]
+            vh = x[:, 2 * D + lo: 2 * D + lo + head_dim]
+            s = jax.lax.dot_general(
+                qs, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [S, S]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)   # [S, S] f32
+            doh = do[:, lo:lo + head_dim]                # [S, hd]
+            pc = p.astype(vh.dtype)
+            dv = jax.lax.dot_general(
+                pc, doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [S, hd]
+            dp = jax.lax.dot_general(
+                doh, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [S, S]
+            r = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - r)).astype(kh.dtype)         # [S, S]
+            dq = jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                ds, qs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dt = dqkv_ref.dtype
+            dqkv_ref[g, :, lo:lo + head_dim] = dq.astype(dt)
+            dqkv_ref[g, :, D + lo: D + lo + head_dim] = dk.astype(dt)
+            dqkv_ref[g, :, 2 * D + lo: 2 * D + lo + head_dim] = dv.astype(dt)
+
+
 def _fused_qkv_bwd(num_heads, scale, safe, interpret, qkv, g):
+    B, S, threeD = qkv.shape
+    D = threeD // 3
+    head_dim = D // num_heads
     if scale is None:
-        scale = (qkv.shape[-1] // 3 // num_heads) ** -0.5
-    _, vjp = jax.vjp(
-        lambda t: _einsum_attention_from_qkv(t, num_heads, float(scale)), qkv)
-    return (vjp(g)[0],)
+        scale = head_dim ** -0.5
+    Gb = _choose_group(B, S, D, n_score_bufs=5, n_io_blocks=7)
+    use_pallas = interpret or (
+        jax.default_backend() not in ("cpu",)
+        and D % num_heads == 0 and head_dim % 64 == 0 and S >= 8
+        and Gb > 0)
+    if not use_pallas:
+        _, vjp = jax.vjp(
+            lambda t: _einsum_attention_from_qkv(t, num_heads, float(scale)),
+            qkv)
+        return (vjp(g)[0],)
+    if Gb == 0:
+        Gb = 1
+    kernel = functools.partial(
+        _fused_qkv_bwd_kernel, num_heads=num_heads, head_dim=head_dim,
+        scale=float(scale))
+    qkv_spec = pl.BlockSpec((Gb, S, 3 * D), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((Gb, S, D), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        grid=(B // Gb,),
+        in_specs=[qkv_spec, do_spec],
+        out_specs=qkv_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * num_heads * S * S * head_dim,
+            bytes_accessed=8 * B * S * D * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * S * S,
+        ),
+    )(qkv, g)
+    return (dqkv,)
 
 
 fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)

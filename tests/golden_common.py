@@ -1,0 +1,302 @@
+"""Shared builders for the committed golden parity fixtures.
+
+Each family builder produces (a) a realistic torch checkpoint artifact and
+(b) input arrays + expected outputs, which `scripts/make_golden_fixtures.py`
+writes under tests/golden/ and `tests/test_golden.py` replays through the
+REAL user path: load_torch_state_dict → importer → flax inference.
+
+Expected outputs come from the torch mirrors of the reference math
+(the same mirrors the per-family import tests verify numerically), frozen
+at generation time — so any later drift in an importer, a model, or the
+checkpoint loader fails against a *committed* artifact instead of a
+mirror rebuilt inside the failing test process. LISTER has no full-model
+torch mirror (its encoder/decoder pieces are parity-proven separately in
+test_lister_import/test_focalnet_import), so its expected outputs are the
+imported flax model's — a regression pin, marked `expected_source="flax"`.
+
+Note on scope: the build image has zero egress, so fixtures derive from
+the in-repo mirrors at tiny dims, not from the released checkpoints
+(reference eval protocol OCR/MGP-STR/test_final.py:29). Released-weight
+golden numbers need a one-time generation pass wherever the .pth files
+are available — the replay harness here is exactly what would consume
+them.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FAMILIES = ("mgp_str", "lister", "levocr", "lore", "omniparser")
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "golden")
+
+
+def _j(params_tree):
+    import jax
+
+    return jax.tree.map(np.asarray, params_tree)
+
+
+# ---------------- per-family: build flax model + run imported ----------------
+
+
+def run_mgp_str(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_checkpoint_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import import_mgp_str
+    from advancedliteratemachinery_tpu.models.mgp_str import MGPSTR, MGPSTRConfig
+    from advancedliteratemachinery_tpu.models.vit import ViTConfig
+
+    cfg = MGPSTRConfig(variant="tiny", batch_max_length=M.T - 2,
+                       bpe_vocab_size=64, wp_vocab_size=64,
+                       vit=ViTConfig(embed_dim=M.D, depth=M.DEPTH,
+                                     num_heads=M.HEADS))
+    model = MGPSTR(cfg, policy=FP32_POLICY)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 128, 3)))["params"]
+    params = import_mgp_str(sd, _j(params))
+    out = model.apply({"params": params}, jnp.asarray(inputs["image"]))
+    return {h: np.asarray(out[h]) for h in ("char", "bpe", "wp")}
+
+
+def run_lister(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import import_lister
+    from advancedliteratemachinery_tpu.models.focalnet import (
+        FOCALNET_VARIANTS, FocalNetConfig)
+    from advancedliteratemachinery_tpu.models.lister import LISTER, LISTERConfig
+
+    FOCALNET_VARIANTS.setdefault("import_tiny", FocalNetConfig(
+        embed_dim=8, depths=(1, 1, 1, 1), drop_path_rate=0.0,
+        layerscale_value=1e-2))
+    cfg = LISTERConfig(variant="import_tiny", max_ch=6, iters=1,
+                       nhead=2, window_size=5, drop_path_rate=0.0)
+    model = LISTER(cfg, policy=FP32_POLICY)
+    x = jnp.asarray(inputs["image"])
+    mask = jnp.asarray(inputs["mask"])
+    params = model.init(jax.random.PRNGKey(0), x, mask)["params"]
+    params = import_lister(sd, _j(params))
+    res = model.apply({"params": params}, x, mask)
+    return {"logits": np.asarray(res[-1]["logits"])}
+
+
+def run_levocr(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_levocr_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import import_levocr
+    from advancedliteratemachinery_tpu.models.abinet import ABINetVisionConfig
+    from advancedliteratemachinery_tpu.models.levocr import LevOCR, LevOCRConfig
+
+    cfg = LevOCRConfig(
+        max_len=M.MAXLEN, d_model=M.DL, heads=2, ffn=64, layers=1,
+        vision=ABINetVisionConfig(max_length=6, num_classes=37,
+                                  d_model=M.DV, ffn=256))
+    model = LevOCR(cfg, policy=FP32_POLICY)
+    img = jnp.asarray(inputs["image"])
+    noised = jnp.asarray(inputs["noised"])
+    masked = jnp.asarray(inputs["masked"])
+    variables = model.init(jax.random.PRNGKey(0), img, noised, masked,
+                           train=False)
+    variables = import_levocr(sd, dict(variables))
+    out = model.apply(variables, img, noised, masked, train=False)
+    return {k: np.asarray(out[k]) for k in
+            ("vision_logits", "mask_ins_logits", "word_ins_logits",
+             "word_del_logits")}
+
+
+def run_lore(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_dla_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import import_dla
+    from advancedliteratemachinery_tpu.models.dla import (
+        DLAConfig, DLASeg, DLASegConfig)
+
+    cfg = DLASegConfig(dla=DLAConfig(levels=M.LEVELS, channels=M.CH),
+                       head_conv=M.HEAD_CONV, heads=M.HEADS)
+    model = DLASeg(cfg, policy=FP32_POLICY)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    variables = import_dla(sd, dict(variables))
+    out = model.apply(variables, jnp.asarray(inputs["image"]), train=False)
+    return {h: np.asarray(out[h]) for h, _ in M.HEADS}
+
+
+def run_omniparser(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_omniparser_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import import_omniparser
+    from advancedliteratemachinery_tpu.models.omniparser import (
+        OmniParser, OmniParserConfig)
+    from advancedliteratemachinery_tpu.models.swin import SwinConfig
+
+    cfg = OmniParserConfig(
+        d_model=M.DM, nhead=M.NHEAD, dec_layers=M.LAYERS,
+        dim_feedforward=M.FFN, max_position_embeddings=M.MAXPOS,
+        num_bins=M.NBINS, dropout=0.0, drop_path_rate=0.0,
+        pt_seq_length=8, poly_length=4, rec_length=4, max_instances=4,
+        swin=SwinConfig(embed_dim=M.D0, depths=M.DEPTHS, num_heads=M.HEADS4,
+                        window_size=M.WIN, drop_path_rate=0.0))
+    model = OmniParser(cfg, policy=FP32_POLICY)
+    seqs0 = {t: jnp.ones((1, 5), jnp.int32) for t in ("pt", "poly", "rec")}
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)),
+                        seqs0)["params"]
+    params = import_omniparser(sd, _j(params))
+    seqs = {t: jnp.asarray(inputs[f"seq_{t}"]) for t in ("pt", "poly", "rec")}
+    out = model.apply({"params": params}, jnp.asarray(inputs["image"]), seqs)
+    return {t: np.asarray(out[t]) for t in ("pt", "poly", "rec")}
+
+
+RUNNERS = {"mgp_str": run_mgp_str, "lister": run_lister,
+           "levocr": run_levocr, "lore": run_lore,
+           "omniparser": run_omniparser}
+
+TOLERANCES = {"mgp_str": (2e-4, 2e-4), "lister": (1e-5, 1e-5),
+              "levocr": (3e-3, 3e-3), "lore": (2e-3, 2e-3),
+              "omniparser": (2e-3, 2e-3)}
+
+
+# ---------------- per-family: torch artifact + expected outputs ----------------
+
+
+def build(family):
+    """→ (state_dict {str: torch.Tensor}, inputs {str: np.ndarray},
+    expected {str: np.ndarray}, expected_source)."""
+    import torch
+
+    if family == "mgp_str":
+        import test_checkpoint_import as M
+
+        torch.manual_seed(0)
+        tm = M.TorchMGPSTR().eval()
+        img = np.random.default_rng(0).standard_normal(
+            (2, 32, 128, 3)).astype(np.float32)
+        with torch.no_grad():
+            tout = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        expected = {h: tout[h].numpy() for h in ("char", "bpe", "wp")}
+        return dict(tm.state_dict()), {"image": img}, expected, "torch"
+
+    if family == "lister":
+        import tests.test_focalnet_import as fn
+
+        fn.E = 8
+        torch.manual_seed(2)
+        tfn = fn.TFocalNet()
+        sd = {"encoder." + k: v for k, v in tfn.state_dict().items()}
+        C = 64
+        torch.manual_seed(3)
+        dec = {
+            "eos_emb": torch.randn(C),
+            "q_fc.weight": torch.randn(C, C), "q_fc.bias": torch.randn(C),
+            "k_fc.weight": torch.randn(C, C), "k_fc.bias": torch.randn(C),
+            "neighbor_navigator.weight": torch.randn(1, C, C),
+            "neighbor_navigator.bias": torch.randn(1),
+            "vis_cls.weight": torch.randn(37, C),
+            "vis_cls.bias": torch.randn(37),
+            "merge_layer.norm1.weight": torch.randn(C),
+            "merge_layer.norm1.bias": torch.randn(C),
+            "merge_layer.norm2.weight": torch.randn(C),
+            "merge_layer.norm2.bias": torch.randn(C),
+        }
+        import test_lister_import as L
+
+        blk = L.TLocalBlock(C, 2, 5, True)
+        dec.update({f"cntx_module.attn_blocks.0.{k}": v
+                    for k, v in blk.state_dict().items()})
+        fn.E = 64
+        mb = fn.TBlock(C, 1)
+        dec.update({f"merge_layer.merge_layer.0.{k}": v
+                    for k, v in mb.state_dict().items()})
+        sd.update({"decoder." + k: v for k, v in dec.items()})
+        img = np.random.default_rng(3).standard_normal(
+            (2, 32, 64, 3)).astype(np.float32)
+        inputs = {"image": img, "mask": np.ones((2, 32, 64), np.float32)}
+        sd_np = {k: v.detach().numpy() for k, v in sd.items()}
+        expected = run_lister(sd_np, inputs)       # flax regression pin
+        return sd, inputs, expected, "flax"
+
+    if family == "levocr":
+        import test_levocr_import as M
+
+        M.av.D, M.av.T, M.av.NC = M.DV, 6, 37
+        torch.manual_seed(0)
+        tm = M.TLevOCR().eval()
+        img = np.random.default_rng(0).standard_normal(
+            (2, 32, 128, 3)).astype(np.float32)
+        rng = np.random.default_rng(1)
+        noised = rng.integers(0, M.VOCAB, (2, M.MAXLEN)).astype(np.int32)
+        masked = rng.integers(0, M.VOCAB, (2, M.MAXLEN)).astype(np.int32)
+        with torch.no_grad():
+            tout = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                      torch.from_numpy(noised.astype(np.int64)),
+                      torch.from_numpy(masked.astype(np.int64)))
+        expected = {k: tout[k].numpy() for k in
+                    ("vision_logits", "mask_ins_logits", "word_ins_logits",
+                     "word_del_logits")}
+        inputs = {"image": img, "noised": noised, "masked": masked}
+        return dict(tm.state_dict()), inputs, expected, "torch"
+
+    if family == "lore":
+        import test_dla_import as M
+
+        torch.manual_seed(0)
+        tm = M.TDLASeg().eval()
+        img = np.random.default_rng(0).standard_normal(
+            (2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            tout = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        expected = {h: tout[h].numpy().transpose(0, 2, 3, 1)
+                    for h, _ in M.HEADS}
+        return dict(tm.state_dict()), {"image": img}, expected, "torch"
+
+    if family == "omniparser":
+        import test_omniparser_import as M
+
+        from advancedliteratemachinery_tpu.models.omniparser import (
+            OmniParserConfig)
+        from advancedliteratemachinery_tpu.models.swin import SwinConfig
+
+        cfg = OmniParserConfig(
+            d_model=M.DM, nhead=M.NHEAD, dec_layers=M.LAYERS,
+            dim_feedforward=M.FFN, max_position_embeddings=M.MAXPOS,
+            num_bins=M.NBINS, dropout=0.0, drop_path_rate=0.0,
+            pt_seq_length=8, poly_length=4, rec_length=4, max_instances=4,
+            swin=SwinConfig(embed_dim=M.D0, depths=M.DEPTHS,
+                            num_heads=M.HEADS4, window_size=M.WIN,
+                            drop_path_rate=0.0))
+        nc = cfg.vocab().num_classes
+        torch.manual_seed(0)
+        tm = M.TorchOmniParser(nc).eval()
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((2, 128, 128, 3)).astype(np.float32)
+        seqs = {t: rng.integers(0, nc, (2, n)).astype(np.int32)
+                for t, n in (("pt", 6), ("poly", 5), ("rec", 4))}
+        with torch.no_grad():
+            tout = tm(torch.from_numpy(img).permute(0, 3, 1, 2),
+                      {t: torch.from_numpy(v.astype(np.int64))
+                       for t, v in seqs.items()})
+        expected = {t: tout[t].numpy() for t in ("pt", "poly", "rec")}
+        inputs = {"image": img}
+        inputs.update({f"seq_{t}": v for t, v in seqs.items()})
+        return tm.state_dict_reference_names(), inputs, expected, "torch"
+
+    raise KeyError(family)

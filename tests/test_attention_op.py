@@ -50,6 +50,31 @@ class TestAttentionDispatch:
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_fused_qkv_backward_kernel_matches_einsum_vjp(self):
+        """The Pallas backward kernel (interpret mode) must produce the
+        same dQKV as differentiating the einsum formulation."""
+        from advancedliteratemachinery_tpu.ops.attention import (
+            _einsum_attention_from_qkv)
+
+        B, S, H, hd = 2, 16, 2, 64
+        D = H * hd
+        qkv = jax.random.normal(jax.random.PRNGKey(3), (B, S, 3 * D))
+        cotangent_seed = jax.random.normal(jax.random.PRNGKey(4), (B, S, D))
+
+        def loss_pallas(t):
+            out = fused_qkv_attention(t, H, interpret=True)
+            return jnp.sum(out * cotangent_seed)
+
+        def loss_einsum(t):
+            out = _einsum_attention_from_qkv(t, H, hd ** -0.5)
+            return jnp.sum(out * cotangent_seed)
+
+        g_pallas = jax.grad(loss_pallas)(qkv)
+        g_einsum = jax.grad(loss_einsum)(qkv)
+        np.testing.assert_allclose(np.asarray(g_pallas),
+                                   np.asarray(g_einsum),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_supports_fused_qkv_gates(self):
         # CPU backend → never
         assert not supports_fused_qkv(8, 257, 768, 12)
