@@ -180,7 +180,13 @@ def cmd_read(args) -> int:
     engine = _rec_engine(args)
     pipe = GeneralTextReading(TextDetection(_db_detect_fn(args)),
                               TextRecognition(engine.recognize))
-    out = pipe(_load_image(args.image))
+    image = _load_image(args.image)
+    out = pipe(image)
+    if getattr(args, "visualize", None):
+        from advancedliteratemachinery_tpu.utils.visualization import (
+            draw_reading, save_image)
+
+        save_image(draw_reading(image, out), args.visualize)
     print(json.dumps(out, indent=2, default=float))
     return 0
 
@@ -208,7 +214,13 @@ def cmd_structurize(args) -> int:
         LayoutAnalysis(whole_page_layout),
         TextDetection(_db_detect_fn(args)),
         TextRecognition(engine.recognize))
-    out = pipe(_load_image(args.image))
+    image = _load_image(args.image)
+    out = pipe(image)
+    if getattr(args, "visualize", None):
+        from advancedliteratemachinery_tpu.utils.visualization import (
+            draw_structurization, save_image)
+
+        save_image(draw_structurization(image, out), args.visualize)
     print(json.dumps(out, indent=2, default=float))
     return 0
 
@@ -227,7 +239,13 @@ def cmd_table(args) -> int:
     pipe = TableParsing(TableStructureRecognition(_lore_table_fn(args)),
                         TextDetection(_db_detect_fn(args)),
                         TextRecognition(engine.recognize))
-    out = pipe(_load_image(args.image))
+    image = _load_image(args.image)
+    out = pipe(image)
+    if getattr(args, "visualize", None):
+        from advancedliteratemachinery_tpu.utils.visualization import (
+            draw_table, save_image)
+
+        save_image(draw_table(image, out), args.visualize)
     print(json.dumps(out, indent=2, default=float))
     return 0
 
@@ -456,6 +474,15 @@ def cmd_import_ckpt(args) -> int:
     return 0
 
 
+def cmd_create_lmdb(args) -> int:
+    from advancedliteratemachinery_tpu.data.lmdb_writer import create_str_lmdb
+
+    n = create_str_lmdb(args.gt_file, args.out_dir, root=args.root,
+                        check_valid=not args.no_check)
+    print(json.dumps({"out_dir": args.out_dir, "num_samples": n}))
+    return 0
+
+
 def cmd_train(args) -> int:
     """Launch (or resume) a training run from LMDB sources.
 
@@ -615,6 +642,9 @@ def main(argv=None) -> int:
         p.add_argument("--ckpt")
         p.add_argument("--torch-ckpt")
         p.add_argument("--det-thresh", type=float, default=0.3)
+        p.add_argument("--visualize", metavar="OUT.png",
+                       help="write an overlay image (reference DocXChain "
+                            "utilities/visualization.py)")
 
     p = sub.add_parser("convert",
                        help="whole image/PDF document → per-page JSON")
@@ -662,6 +692,15 @@ def main(argv=None) -> int:
     p.add_argument("--init-torch-ckpt",
                    help="initialize from a reference torch checkpoint")
 
+    p = sub.add_parser("create-lmdb",
+                       help="build an STR LMDB from a `path\\tlabel` gt "
+                            "file (create_lmdb_dataset.py)")
+    p.add_argument("gt_file")
+    p.add_argument("out_dir")
+    p.add_argument("--root", default="", help="image path prefix")
+    p.add_argument("--no-check", action="store_true",
+                   help="skip image validity checks")
+
     p = sub.add_parser("import-ckpt",
                        help="convert a reference torch .pth → Orbax checkpoint")
     p.add_argument("family", choices=["mgp_str", "lister", "levocr", "lore",
@@ -677,6 +716,7 @@ def main(argv=None) -> int:
     return {"models": cmd_models, "recognize": cmd_recognize, "read": cmd_read,
             "structurize": cmd_structurize, "table": cmd_table,
             "convert": cmd_convert, "bench": cmd_bench, "train": cmd_train,
+            "create-lmdb": cmd_create_lmdb,
             "augment-preview": cmd_augment_preview,
             "import-ckpt": cmd_import_ckpt}[args.command](args)
 

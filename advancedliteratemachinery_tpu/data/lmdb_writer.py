@@ -1,8 +1,10 @@
-"""Minimal LMDB-format writer for testing the pure-Python reader.
+"""Minimal LMDB-format writer (no liblmdb dependency).
 
 Produces files following lmdb/mdb.c's on-disk layout (meta pages 0-1,
-leaf/branch pages, overflow chains). Test-only — the framework never
-writes LMDB.
+leaf/branch pages, overflow chains), readable by both this framework's
+pure-Python reader (data/lmdb_reader.py) and standard lmdb bindings.
+Backs the `create-lmdb` CLI command (reference
+OCR/MGP-STR/create_lmdb_dataset.py) and the test fixtures.
 """
 
 from __future__ import annotations
@@ -152,3 +154,40 @@ def write_lmdb(path: str, data: Dict[bytes, bytes],
         out[pg * PAGE:(pg + 1) * PAGE] = blob
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+def create_str_lmdb(gt_file: str, out_dir: str, root: str = "",
+                    check_valid: bool = True) -> int:
+    """Build an STR LMDB from a gt file of `imagepath\\tlabel` lines
+    (reference OCR/MGP-STR/create_lmdb_dataset.py createDataset): keys
+    num-samples / image-%09d (encoded bytes) / label-%09d. Returns the
+    number of samples written."""
+    import io
+    import os
+
+    data: Dict[bytes, bytes] = {}
+    n = 0
+    with open(gt_file, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            path, _, label = line.partition("\t")
+            full = os.path.join(root, path) if root else path
+            with open(full, "rb") as imf:
+                img_bytes = imf.read()
+            if check_valid:
+                try:
+                    from PIL import Image
+
+                    Image.open(io.BytesIO(img_bytes)).verify()
+                except Exception:
+                    print(f"skipping invalid image: {full}")
+                    continue
+            n += 1
+            data[b"image-%09d" % n] = img_bytes
+            data[b"label-%09d" % n] = label.encode("utf-8")
+    data[b"num-samples"] = str(n).encode()
+    os.makedirs(out_dir, exist_ok=True)
+    write_lmdb(os.path.join(out_dir, "data.mdb"), data)
+    return n

@@ -121,15 +121,35 @@ class DBDetector(nn.Module):
             outs.append(o)
         fuse = jnp.concatenate(outs, axis=-1)   # [B, H/4, W/4, 4*head_dim]
 
+        def shuffle2(t):
+            # nn.PixelShuffle(2) in NHWC: channel blocks (out, 2, 2)
+            B_, H_, W_, C_ = t.shape
+            o = C_ // 4
+            t = t.reshape(B_, H_, W_, o, 2, 2)
+            return t.transpose(0, 1, 4, 2, 5, 3).reshape(B_, H_ * 2,
+                                                         W_ * 2, o)
+
         def head(name):
-            h = ConvBNRelu(cfg.head_dim, (3, 3), policy=p, name=f"{name}_c")(fuse, train)
-            B, Hq, Wq, _ = h.shape
-            h = jax.image.resize(h, (B, Hq * 2, Wq * 2, cfg.head_dim), "bilinear")
-            h = ConvBNRelu(cfg.head_dim, (3, 3), policy=p, name=f"{name}_c2")(h, train)
-            B, Hh, Wh, _ = h.shape
-            h = jax.image.resize(h, (B, Hh * 2, Wh * 2, cfg.head_dim), "bilinear")
-            h = nn.Conv(1, (3, 3), padding="SAME", dtype=p.compute_dtype,
-                        param_dtype=p.param_dtype, name=f"{name}_out")(h)
+            """DBNet head: conv3x3+BN+relu → ConvTranspose(2,2)+BN+relu →
+            ConvTranspose(2,2) → sigmoid. A 2x2-stride-2 transposed conv
+            touches each input pixel exactly once, so it reparameterizes
+            EXACTLY as a 1x1 conv to 4x channels + pixel shuffle — same
+            function class, but the convs run at low resolution (the
+            bilinear-resize formulation spent 16 of the model's 25 ms
+            moving 64-channel maps at 320²/640², scripts/db_profile.py)."""
+            h = ConvBNRelu(cfg.head_dim, (3, 3), policy=p,
+                           name=f"{name}_c")(fuse, train)
+            h = nn.Conv(cfg.head_dim * 4, (1, 1), dtype=p.compute_dtype,
+                        param_dtype=p.param_dtype, name=f"{name}_up1")(h)
+            h = shuffle2(h)                              # 1/4 → 1/2
+            h = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, dtype=jnp.float32,
+                             param_dtype=p.param_dtype,
+                             name=f"{name}_bn1")(h).astype(p.compute_dtype)
+            h = nn.relu(h)
+            h = nn.Conv(4, (1, 1), dtype=p.compute_dtype,
+                        param_dtype=p.param_dtype, name=f"{name}_up2")(h)
+            h = shuffle2(h)                              # 1/2 → full, 1ch
             return jax.nn.sigmoid(h.astype(jnp.float32))
 
         prob = head("prob")

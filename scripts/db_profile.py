@@ -38,7 +38,9 @@ def main():
         0, 256, (P, H, W, 3), np.uint8).astype(np.float32))
     variables = det.init(jax.random.PRNGKey(0), x[:1])
 
-    full = jax.jit(lambda v, im: det.apply(v, im)["prob"])
+    # reduce every output to a scalar inside jit — through the axon tunnel
+    # a returned feature map times the network, not the compute
+    full = jax.jit(lambda v, im: det.apply(v, im)["prob"].sum())
     t_full = timeit(full, variables, x)
     print(f"full forward: {t_full:.2f} ms")
 
@@ -92,7 +94,7 @@ def main():
     for stop in ("stem", "backbone", "fuse"):
         m = Prefix(stop=stop)
         v = m.init(jax.random.PRNGKey(0), x[:1])
-        f = jax.jit(lambda v, im, m=m: m.apply(v, im))
+        f = jax.jit(lambda v, im, m=m: m.apply(v, im).sum())
         print(f"through {stop}: {timeit(f, v, x):.2f} ms")
 
 

@@ -11,7 +11,7 @@ from advancedliteratemachinery_tpu.data.str_dataset import (
     BalancedMixer,
     LmdbStrDataset,
 )
-from lmdb_writer import write_lmdb
+from advancedliteratemachinery_tpu.data.lmdb_writer import write_lmdb
 
 
 @pytest.fixture()

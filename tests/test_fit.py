@@ -17,7 +17,7 @@ import numpy as np
 import pytest
 from PIL import Image, ImageDraw
 
-from lmdb_writer import write_lmdb
+from advancedliteratemachinery_tpu.data.lmdb_writer import write_lmdb
 
 from advancedliteratemachinery_tpu.codecs.char_codec import CharCodec
 from advancedliteratemachinery_tpu.codecs.seq_codec import EosSeqCodec

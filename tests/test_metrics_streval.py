@@ -41,7 +41,7 @@ class TestStrEval:
         from PIL import Image
 
         sys.path.insert(0, "tests")
-        from lmdb_writer import write_lmdb
+        from advancedliteratemachinery_tpu.data.lmdb_writer import write_lmdb
 
         def make_set(dirname, labels):
             d = tmp_path / dirname
