@@ -474,6 +474,57 @@ def cmd_import_ckpt(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """STR benchmark suite: per-set + weighted total word accuracy over
+    LMDB eval dirs (reference test_final.py:29 benchmark_all_eval /
+    LISTER test.py:23 / LevOCR eval.py:21)."""
+    from advancedliteratemachinery_tpu.eval.str_eval import benchmark_all_eval
+
+    engine = _rec_engine(args)
+    out = benchmark_all_eval(engine.recognize, args.data,
+                             charset=args.charset,
+                             max_length=args.batch_max_length,
+                             batch_size=args.batch_size)
+    print(json.dumps(out, indent=2, default=float))
+    return 0
+
+
+def cmd_ccocr_eval(args) -> int:
+    """CC-OCR LMM benchmark harness over a predictions directory
+    (reference Benchmarks/CC-OCR/evaluation/main.py: index-driven
+    per-dataset evaluators + overall summary)."""
+    import os
+
+    from advancedliteratemachinery_tpu.eval.ccocr_harness import (
+        evaluate_and_summary,
+        load_response_from_dir,
+    )
+
+    def load_any(path):
+        if os.path.isdir(path):
+            return load_response_from_dir(path)
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
+    with open(args.index, encoding="utf-8") as f:
+        index = json.load(f)
+    responses, gts = {}, {}
+    for item in index:
+        name = item["dataset"]
+        pdt = os.path.join(args.pred_dir, name)
+        gt = os.path.join(args.gt_dir, name)
+        if os.path.exists(pdt) and os.path.exists(gt):
+            responses[name] = load_any(pdt)
+            gts[name] = load_any(gt)
+        elif os.path.exists(pdt + ".json") and os.path.exists(gt + ".json"):
+            responses[name] = load_any(pdt + ".json")
+            gts[name] = load_any(gt + ".json")
+    out = evaluate_and_summary(index, responses, gts,
+                               weighted=args.weighted)
+    print(json.dumps(out, indent=2, default=float))
+    return 0
+
+
 def cmd_create_lmdb(args) -> int:
     from advancedliteratemachinery_tpu.data.lmdb_writer import create_str_lmdb
 
@@ -593,6 +644,39 @@ def cmd_train(args) -> int:
             return {"accuracy": benchmark_all_eval(
                 engine.recognize, args.val_data, charset=charset,
                 max_length=L, batch_size=args.batch_size)["total_accuracy"]}
+    elif args.model == "omniparser":
+        from advancedliteratemachinery_tpu.data.coco_spotting import (
+            CocoSpottingDataset,
+        )
+        from advancedliteratemachinery_tpu.models.omniparser import (
+            OmniParser, OmniParserConfig)
+
+        cfg = OmniParserConfig(swin_variant=args.variant)
+        v = cfg.vocab()
+        model = OmniParser(cfg)
+        size = args.image_size
+        seqs0 = {t: jnp.ones((1, 5), jnp.int32)
+                 for t in ("pt", "poly", "rec")}
+        params = model.init(jax.random.PRNGKey(args.seed),
+                            jnp.zeros((1, size, size, 3)), seqs0)["params"]
+        if args.init_torch_ckpt:
+            from advancedliteratemachinery_tpu.engine.checkpoint import (
+                TORCH_IMPORTERS, load_torch_state_dict)
+
+            params = TORCH_IMPORTERS["omniparser"](
+                load_torch_state_dict(args.init_torch_ckpt),
+                jax.tree.map(np.asarray, params))
+        ds = CocoSpottingDataset(args.img_root or ".", args.train_data[0],
+                                 rec_length=cfg.rec_length)
+        batch_iter = B.omniparser_batches(
+            ds, v, args.batch_size, image_hw=(size, size),
+            max_pts=cfg.max_instances, poly_pts=cfg.poly_length // 2,
+            rec_length=cfg.rec_length, seed=args.seed)
+        loss_fn, _ = B.omniparser_recipe_u8(model, v.padding_index)
+        tx = make_optimizer(lr=args.lr, total_steps=args.steps,
+                            grad_clip=0.1, weight_decay=1e-4,
+                            warmup_steps=args.warmup_steps)
+        eval_fn = None
     else:
         raise SystemExit(f"unknown trainable model {args.model!r}")
 
@@ -666,9 +750,13 @@ def main(argv=None) -> int:
     sub.add_parser("bench", help="run the repo benchmark")
 
     p = sub.add_parser("train", help="launch/resume a training run")
-    p.add_argument("model", choices=["mgp_str", "lister"])
+    p.add_argument("model", choices=["mgp_str", "lister", "omniparser"])
     p.add_argument("--train-data", nargs="+", required=True,
-                   help="LMDB source dirs (mixed per --ratios)")
+                   help="LMDB source dirs (mixed per --ratios); for "
+                        "omniparser: a COCO spotting annotation json")
+    p.add_argument("--img-root", help="image folder (omniparser)")
+    p.add_argument("--image-size", type=int, default=640,
+                   help="train page size (omniparser)")
     p.add_argument("--ratios", nargs="+", type=float,
                    help="per-source batch ratios (default: equal)")
     p.add_argument("--val-data", nargs="+", default=[],
@@ -691,6 +779,30 @@ def main(argv=None) -> int:
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel axis")
     p.add_argument("--init-torch-ckpt",
                    help="initialize from a reference torch checkpoint")
+
+    p = sub.add_parser("eval",
+                       help="STR benchmark over LMDB eval sets "
+                            "(benchmark_all_eval protocol)")
+    p.add_argument("--data", nargs="+", required=True,
+                   help="LMDB eval dirs (IIIT5k, SVT, ...)")
+    p.add_argument("--model", default="mgp_str",
+                   choices=["mgp_str", "lister", "levocr"])
+    p.add_argument("--variant", default="base",
+                   choices=["tiny", "small", "base", "large"])
+    p.add_argument("--ckpt")
+    p.add_argument("--torch-ckpt")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--batch-max-length", type=int, default=25)
+    p.add_argument("--charset")
+
+    p = sub.add_parser("ccocr-eval",
+                       help="CC-OCR benchmark harness over a predictions "
+                            "directory")
+    p.add_argument("index", help="index JSON ([{dataset, group, ...}])")
+    p.add_argument("pred_dir", help="per-dataset response dirs/json files")
+    p.add_argument("gt_dir", help="per-dataset ground-truth dirs/json files")
+    p.add_argument("--weighted", action="store_true",
+                   help="sample-weighted overall score")
 
     p = sub.add_parser("create-lmdb",
                        help="build an STR LMDB from a `path\\tlabel` gt "
@@ -716,7 +828,8 @@ def main(argv=None) -> int:
     return {"models": cmd_models, "recognize": cmd_recognize, "read": cmd_read,
             "structurize": cmd_structurize, "table": cmd_table,
             "convert": cmd_convert, "bench": cmd_bench, "train": cmd_train,
-            "create-lmdb": cmd_create_lmdb,
+            "create-lmdb": cmd_create_lmdb, "eval": cmd_eval,
+            "ccocr-eval": cmd_ccocr_eval,
             "augment-preview": cmd_augment_preview,
             "import-ckpt": cmd_import_ckpt}[args.command](args)
 

@@ -102,3 +102,114 @@ def lister_recipe_u8(model, cfg) -> Tuple[Callable, Any]:
     return loss_fn, make_optimizer(lr=8e-4, total_steps=600_000,
                                    grad_clip=20.0, weight_decay=0.01,
                                    warmup_steps=10_000)
+
+
+def omniparser_batches(
+    dataset,
+    vocab,
+    batch_size: int,
+    image_hw: Tuple[int, int] = (640, 640),
+    max_pts: int = 16,
+    poly_pts: int = 16,
+    rec_length: int = 25,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """OmniParser spotting batches (reference main.py train loop over
+    dataset/text_spotting.py): resized uint8 pages + teacher-forced
+    pt/poly/rec sequences. Coordinate bins are resize-invariant (quantized
+    against the ORIGINAL page size), so images can be resized freely.
+
+    Shapes per batch: images [B, H, W, 3] u8; pt [B, 2*max_pts+2];
+    poly [B, 2 + 2*poly_pts]; rec [B, 2 + 1 + rec_length]. One random
+    instance per page feeds the poly/rec tasks (the reference samples
+    instances similarly); prompt and pad positions carry padding_index in
+    the *_out targets so the CE ignores them.
+    """
+    import os
+
+    from PIL import Image
+
+    from advancedliteratemachinery_tpu.data.coco_spotting import (
+        build_spotting_sequences,
+    )
+
+    rng = np.random.default_rng(seed)
+    H, W = image_hw
+    pad = vocab.padding_index
+    pt_L = 2 * max_pts + 2
+    poly_L = 2 + 2 * poly_pts            # (cx cy sos p0..p_{2k-1})[:-1]
+    rec_L = 2 + 1 + rec_length
+
+    def char_tok(i):
+        # COCO 'rec' ids are parser.py char-class indices; vocab places
+        # them at num_bins + id (96 = recog padding)
+        return vocab.num_bins + int(i)
+
+    while True:
+        batch = {
+            "images": np.zeros((batch_size, H, W, 3), np.uint8),
+            "pt_in": np.full((batch_size, pt_L - 1), pad, np.int32),
+            "pt_out": np.full((batch_size, pt_L - 1), pad, np.int32),
+            "poly_in": np.full((batch_size, poly_L), pad, np.int32),
+            "poly_out": np.full((batch_size, poly_L), pad, np.int32),
+            "rec_in": np.full((batch_size, rec_L - 1), pad, np.int32),
+            "rec_out": np.full((batch_size, rec_L - 1), pad, np.int32),
+        }
+        for b in range(batch_size):
+            s = dataset[int(rng.integers(0, len(dataset)))]
+            path = os.path.join(s["image_folder"], s["file_name"])
+            try:
+                img = Image.open(path).convert("RGB").resize((W, H))
+                batch["images"][b] = np.asarray(img)
+            except FileNotFoundError:
+                pass                      # blank page still trains seqs
+            seqs = build_spotting_sequences(s, vocab, max_pts=max_pts,
+                                            poly_pts=poly_pts)
+            pt = seqs["pt_seq"][: pt_L - 1]
+            full = np.concatenate([[vocab.pt_sos_index], pt])
+            batch["pt_in"][b, : len(full) - 1] = full[:-1]
+            batch["pt_out"][b, : len(pt)] = pt
+
+            n = len(seqs["poly_seqs"])
+            if n:
+                j = int(rng.integers(0, n))
+                cx = int(seqs["pt_seq"][2 * j])
+                cy = int(seqs["pt_seq"][2 * j + 1])
+                poly = seqs["poly_seqs"][j]
+                pfull = np.concatenate([[cx, cy, vocab.poly_sos_index],
+                                        poly])
+                batch["poly_in"][b, : len(pfull) - 1] = pfull[:-1]
+                batch["poly_out"][b, 2: 2 + len(poly)] = poly
+
+                raw = seqs["rec_seqs"][j]
+                chars = [char_tok(i) for i in raw if int(i) < 96]
+                tgt = chars[: rec_length - 1] + [vocab.rec_eos_index]
+                rfull = np.concatenate(
+                    [[cx, cy, vocab.rec_sos_index], tgt])
+                batch["rec_in"][b, : len(rfull) - 1] = rfull[:-1]
+                batch["rec_out"][b, 2: 2 + len(tgt)] = tgt
+        yield batch
+
+
+def omniparser_recipe_u8(model, padding_index: int) -> Tuple[Callable, Any]:
+    """omniparser_recipe with uint8 images normalized on device."""
+    from advancedliteratemachinery_tpu.engine.train import make_optimizer
+    from advancedliteratemachinery_tpu.models.omniparser import (
+        omniparser_loss,
+    )
+
+    def loss_fn(params, batch, rng):
+        x = normalize_crops(batch["images"], dtype=model.policy.compute_dtype)
+        out = model.apply({"params": params}, x,
+                          {"pt": batch["pt_in"], "poly": batch["poly_in"],
+                           "rec": batch["rec_in"]},
+                          rngs={"dropout": rng})
+        m = omniparser_loss(out, {"pt": batch["pt_out"],
+                                  "poly": batch["poly_out"],
+                                  "rec": batch["rec_out"]}, padding_index,
+                            weights=(1.0, 1.0, 2.0))
+        return m["loss"], m
+
+    return loss_fn, make_optimizer(lr=5e-4, total_steps=400_000,
+                                   grad_clip=0.1, weight_decay=1e-4,
+                                   warmup_steps=5_000)

@@ -1,0 +1,99 @@
+"""OmniParser training path: COCO spotting data → teacher-forced batches →
+fit() (reference OCR/OmniParser/main.py train loop over
+dataset/text_spotting.py)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+from advancedliteratemachinery_tpu.data.coco_spotting import CocoSpottingDataset
+from advancedliteratemachinery_tpu.engine import batches as B
+from advancedliteratemachinery_tpu.engine.fit import FitConfig, fit
+from advancedliteratemachinery_tpu.models.omniparser import (
+    OmniParser,
+    OmniParserConfig,
+)
+from advancedliteratemachinery_tpu.parallel.mesh import create_mesh
+
+
+def _coco(tmp_path, n_images=2):
+    images, annos = [], []
+    aid = 1
+    for i in range(n_images):
+        name = f"im{i}.png"
+        Image.new("RGB", (100, 100), "white").save(tmp_path / name)
+        images.append({"id": i + 1, "file_name": name,
+                       "height": 100, "width": 100})
+        for k in range(2):
+            x0 = 10 + 40 * k
+            bez = [x0, 10, x0 + 10, 10, x0 + 20, 10, x0 + 30, 10,
+                   x0 + 30, 30, x0 + 20, 30, x0 + 10, 30, x0, 30]
+            annos.append({"id": aid, "image_id": i + 1,
+                          "bezier_pts": bez,
+                          "rec": [3, 4, 5] + [96] * 22})
+            aid += 1
+    p = tmp_path / "anno.json"
+    p.write_text(json.dumps({"images": images, "annotations": annos}))
+    return str(p)
+
+
+class TestOmniParserBatches:
+    def _cfg(self):
+        return OmniParserConfig(
+            swin_variant="tiny", d_model=32, nhead=2, dec_layers=1,
+            dim_feedforward=64, num_bins=50, max_position_embeddings=64,
+            pt_seq_length=10, poly_length=8, rec_length=6, max_instances=4,
+            drop_path_rate=0.0)
+
+    def test_batch_shapes_and_targets(self, tmp_path):
+        cfg = self._cfg()
+        v = cfg.vocab()
+        ds = CocoSpottingDataset(str(tmp_path), _coco(tmp_path),
+                                 rec_length=cfg.rec_length)
+        it = B.omniparser_batches(ds, v, batch_size=2, image_hw=(64, 64),
+                                  max_pts=cfg.max_instances,
+                                  poly_pts=cfg.poly_length // 2,
+                                  rec_length=cfg.rec_length)
+        b = next(it)
+        assert b["images"].shape == (2, 64, 64, 3)
+        assert b["images"].max() > 0                 # pages were loaded
+        # pt: sos-shifted teacher forcing
+        assert b["pt_in"][0, 0] == v.pt_sos_index
+        assert b["pt_out"][0, 0] < cfg.num_bins      # first center bin
+        eos_pos = np.where(b["pt_out"][0] == v.pt_eos_index)[0]
+        assert len(eos_pos) == 1                     # one EOS per page seq
+        # poly/rec: prompt positions masked in targets
+        assert (b["poly_out"][:, :2] == v.padding_index).all()
+        assert b["poly_in"][0, 2] == v.poly_sos_index
+        assert (b["rec_out"][:, :2] == v.padding_index).all()
+        assert v.rec_eos_index in b["rec_out"][0]
+        # char tokens land in the char band
+        chars = b["rec_out"][0][(b["rec_out"][0] >= cfg.num_bins)
+                                & (b["rec_out"][0] < v.recog_pad_index)]
+        assert len(chars) == 3                       # rec [3, 4, 5]
+
+    def test_fit_runs_and_loss_finite(self, tmp_path):
+        cfg = self._cfg()
+        v = cfg.vocab()
+        model = OmniParser(cfg, policy=FP32_POLICY)
+        ds = CocoSpottingDataset(str(tmp_path), _coco(tmp_path),
+                                 rec_length=cfg.rec_length)
+        it = B.omniparser_batches(ds, v, batch_size=2, image_hw=(64, 64),
+                                  max_pts=cfg.max_instances,
+                                  poly_pts=cfg.poly_length // 2,
+                                  rec_length=cfg.rec_length)
+        seqs0 = {t: jnp.ones((1, 5), jnp.int32)
+                 for t in ("pt", "poly", "rec")}
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), seqs0)["params"]
+        loss_fn, tx = B.omniparser_recipe_u8(model, v.padding_index)
+        res = fit(loss_fn, tx, params, it,
+                  FitConfig(total_steps=3, log_interval=1),
+                  mesh=create_mesh(data=1, devices=jax.devices()[:1]),
+                  log_fn=lambda m: None)
+        assert res.steps_run == 3
+        assert np.isfinite(res.last_metrics["loss"])
