@@ -877,13 +877,20 @@ def import_webrpg_vae(sd: Dict[str, np.ndarray], variables: Dict,
         i += 1
     lin(pr["enc_mu"], "enc_mu")
     lin(pr["enc_logvar"], "enc_logvar")
-    i = 0
-    while f"decoder.{i}.0.weight" in p:
-        lin(pr[f"dec_stack_{i}"], f"decoder.{i}.0")
-        ln(pr[f"dec_norms_{i}"], f"decoder.{i}.1")
-        i += 1
-    lin(pr["final_layer"], "final_layer.0")
-    lin(pr["final_layer2"], "final_layer2")
+    if "dec_stack_0" in pr:
+        i = 0
+        while f"decoder.{i}.0.weight" in p:
+            lin(pr[f"dec_stack_{i}"], f"decoder.{i}.0")
+            ln(pr[f"dec_norms_{i}"], f"decoder.{i}.1")
+            i += 1
+        lin(pr["final_layer"], "final_layer.0")
+        lin(pr["final_layer2"], "final_layer2")
+    else:
+        # encoder-only consumer (FIDWebModel never decodes) — consume the
+        # decoder tensors deliberately
+        for k in list(p):
+            if k.startswith(("decoder.", "final_layer")):
+                _ = p[k]
 
     _warn_unused(p, "import_webrpg_vae")
     return {"params": jax.tree.map(
@@ -1804,6 +1811,89 @@ def import_trcg(sd: Dict[str, np.ndarray], params: Dict,
                         _validate_shapes(params, out, "import_trcg"))
 
 
+def import_fid_web(sd: Dict[str, np.ndarray], variables: Dict) -> Dict:
+    """Map the released WebRPG FID discriminator (reference
+    baselines_model/FID_model.py FIDWebModel: element VAE + chrlen
+    Embedding + MarkupLM xpath embeddings + BERT-backed FIDBackbone) onto
+    models/webrpg.py FIDWebModel variables."""
+    out = jax.tree.map(np.asarray, variables)
+    pr = out["params"]
+    p = _TrackingDict({k: _t(v) for k, v in sd.items()})
+
+    def lin(dst, t):
+        dst["kernel"] = linear_kernel(p[t + ".weight"])
+        if t + ".bias" in p:
+            dst["bias"] = p[t + ".bias"]
+
+    def ln(dst, t):
+        dst["scale"] = p[t + ".weight"]
+        dst["bias"] = p[t + ".bias"]
+
+    # ---- vae (reuse the released-VAE key layout) ----
+    vae_vars = import_webrpg_vae(
+        {k: v for k, v in p.items() if k.startswith("vae.")},
+        {"params": pr["vae"]}, prefix="vae.")
+    pr["vae"] = jax.tree.map(np.asarray, vae_vars["params"])
+    for k in list(p):
+        if k.startswith("vae."):
+            _ = p[k]
+
+    # ---- chrlen embedding + xpath tables ----
+    pr["chrlen_table"]["embedding"] = p["chrlen_embed.weight"]
+    xp = "xpath_layer."
+    depth = 0
+    while f"{xp}xpath_tag_sub_embeddings.{depth}.weight" in p:
+        depth += 1
+    tags = np.concatenate(
+        [p[f"{xp}xpath_tag_sub_embeddings.{d}.weight"]
+         for d in range(depth)], 0)
+    subs = np.concatenate(
+        [p[f"{xp}xpath_subs_sub_embeddings.{d}.weight"]
+         for d in range(depth)], 0)
+    pr["xpath_layer"]["tag_emb"]["embedding"] = tags
+    pr["xpath_layer"]["subs_emb"]["embedding"] = subs
+    lin(pr["xpath_layer"]["proj1"], xp + "xpath_unitseq2_inner")
+    lin(pr["xpath_layer"]["proj2"], xp + "inner2emb")
+
+    # ---- backbone ----
+    bb = pr["backbone"]
+    lin(bb["in_embed"], "model.in_embed")
+    lin(bb["chrlen_embed"], "model.chrlen_embed")
+    lin(bb["xpath_embed"], "model.xpath_embed")
+    bb["cls_text_embed"] = p["model.cls_text_embed"]
+    be = "model.bert."
+    bb["position_emb"]["embedding"] = \
+        p[be + "embeddings.position_embeddings.weight"]
+    bb["token_type_emb"]["embedding"] = \
+        p[be + "embeddings.token_type_embeddings.weight"]
+    ln(bb["emb_ln"], be + "embeddings.LayerNorm")
+    i = 0
+    while f"{be}encoder.layer.{i}.attention.self.query.weight" in p:
+        t = f"{be}encoder.layer.{i}"
+        lin(bb[f"layer_{i}_q"], f"{t}.attention.self.query")
+        lin(bb[f"layer_{i}_k"], f"{t}.attention.self.key")
+        lin(bb[f"layer_{i}_v"], f"{t}.attention.self.value")
+        lin(bb[f"layer_{i}_attn_out"], f"{t}.attention.output.dense")
+        ln(bb[f"layer_{i}_attn_ln"], f"{t}.attention.output.LayerNorm")
+        lin(bb[f"layer_{i}_inter"], f"{t}.intermediate.dense")
+        lin(bb[f"layer_{i}_out"], f"{t}.output.dense")
+        ln(bb[f"layer_{i}_out_ln"], f"{t}.output.LayerNorm")
+        i += 1
+    lin(bb["pooler"], be + "pooler.dense")
+    lin(bb["decoder_pred"], "model.decoder_pred")
+    # defined-but-unused in the reference forward: word embeddings (BERT
+    # runs on inputs_embeds) and model.norm — consume deliberately
+    for k in (be + "embeddings.word_embeddings.weight",
+              "model.norm.weight", "model.norm.bias"):
+        if k in p:
+            _ = p[k]
+
+    _warn_unused(p, "import_fid_web")
+    out["params"] = pr
+    return jax.tree.map(jnp.asarray,
+                        _validate_shapes(variables, out, "import_fid_web"))
+
+
 def import_lvtr(sd: Dict[str, np.ndarray], params: Dict) -> Dict:
     """Map a released LVTR decoder checkpoint (reference
     train_lvtr.py:350-360 accelerate save of the dalle2-pytorch Decoder;
@@ -1929,4 +2019,5 @@ TORCH_IMPORTERS: Dict[str, Callable] = {
     "vlpt": import_vlpt,          # released VLPT-STD pretrain ckpt
     "trcg": import_trcg,          # vicuna-7B + CLIP-L/14-336 + projector
     "lvtr": import_lvtr,          # dalle2-pytorch Decoder → LVTRDalleUnet
+    "fid_web": import_fid_web,    # WebRPG FID discriminator (feature model)
 }

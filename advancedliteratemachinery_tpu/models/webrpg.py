@@ -14,6 +14,8 @@ Behavioral parity target (reference DocumentUnderstanding/WebRPG):
 from __future__ import annotations
 
 import dataclasses
+
+import numpy as np
 from typing import Dict, List, Tuple
 
 import jax
@@ -189,3 +191,151 @@ def webrpg_losses(out: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
                   ** 2) * m) / jnp.maximum(jnp.sum(m), 1.0)
     total = ar + cfg.vae_loss_weight * v["vae_loss"]
     return {"loss": total, "ar_loss": ar, **v}
+
+
+# ---------------- FID feature model (generative evaluation) ----------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FIDConfig(ConfigBase):
+    """Reference baselines_model/FID_model.py FIDBackbone/FIDWebModel
+    (built at test_FID.py:61: embed 128, depth 4, 2-way real/fake head,
+    chrlen Embedding(512, 128), xpath from MarkupLM embeddings)."""
+
+    out_dim: int = 2
+    embed_dim: int = 128
+    depth: int = 4
+    heads: int = 8
+    num_element_tokens: int = 512
+    chrlen_dim: int = 128
+    xpath_dim: int = 1024
+    max_chrlen: int = 512
+
+
+class FIDBackbone(nn.Module):
+    """BERT encoder over [CLS] + element tokens; pooled CLS feature is the
+    FID activation (FID_model.py:39 forward → output.pooler_output)."""
+
+    cfg: FIDConfig
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, param_latents, chrlen_emb, xpath_emb, element_mask,
+                 deterministic: bool = True):
+        cfg, p = self.cfg, self.policy
+        D, H = cfg.embed_dim, cfg.heads
+        hd = D // H
+        d = dict(dtype=p.compute_dtype, param_dtype=p.param_dtype)
+        x = nn.Dense(D, name="in_embed", **d)(param_latents)
+        x = x + nn.Dense(D, name="chrlen_embed", **d)(chrlen_emb)
+        x = x + nn.Dense(D, name="xpath_embed", **d)(xpath_emb)
+        B = x.shape[0]
+        cls = self.param("cls_text_embed", nn.initializers.normal(1.0),
+                         (1, 1, D), p.param_dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype),
+                                              (B, 1, D)), x], axis=1)
+        T = x.shape[1]
+        # BertModel with inputs_embeds still adds position + token-type 0
+        pos = nn.Embed(1 + cfg.num_element_tokens, D,
+                       param_dtype=p.param_dtype, name="position_emb")(
+            jnp.arange(T))
+        tok = nn.Embed(2, D, param_dtype=p.param_dtype,
+                       name="token_type_emb")(jnp.zeros((T,), jnp.int32))
+        x = x + (pos + tok).astype(x.dtype)[None]
+        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+                         name="emb_ln")(x).astype(p.compute_dtype)
+        mask = jnp.concatenate(
+            [jnp.ones((B, 1), element_mask.dtype), element_mask], axis=1)
+        bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9)
+        for i in range(cfg.depth):
+            q = nn.Dense(D, name=f"layer_{i}_q", **d)(x).reshape(B, T, H, hd)
+            k = nn.Dense(D, name=f"layer_{i}_k", **d)(x).reshape(B, T, H, hd)
+            v = nn.Dense(D, name=f"layer_{i}_v", **d)(x).reshape(B, T, H, hd)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (hd ** 0.5) + bias
+            a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, T, D)
+            o = nn.Dense(D, name=f"layer_{i}_attn_out", **d)(o)
+            x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+                             name=f"layer_{i}_attn_ln")(x + o).astype(
+                                 p.compute_dtype)
+            h = nn.Dense(4 * D, name=f"layer_{i}_inter", **d)(x)
+            h = nn.Dense(D, name=f"layer_{i}_out", **d)(
+                jax.nn.gelu(h, approximate=False))
+            x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+                             name=f"layer_{i}_out_ln")(x + h).astype(
+                                 p.compute_dtype)
+        pooled = jnp.tanh(nn.Dense(D, name="pooler", **d)(x[:, 0]))
+        logits = nn.Dense(cfg.out_dim, name="decoder_pred", **d)(pooled)
+        return logits.astype(jnp.float32), pooled.astype(jnp.float32)
+
+
+@MODELS.register("fid_web")
+class FIDWebModel(nn.Module):
+    """The FID feature extractor chain (FID_model.py FIDWebModel): element
+    VAE reparameterized latents + chrlen embedding + MarkupLM xpath
+    embedding → FIDBackbone → (real/fake logits, pooled FID feature).
+
+    `gem_cfg` supplies the xpath table shapes (reference reuses the
+    MarkupLM embeddings object, test_FID.py:168)."""
+
+    cfg: WebRPGConfig = WebRPGConfig()
+    fid: FIDConfig = FIDConfig()
+    gem_cfg: "object" = None
+    policy: Policy = DEFAULT_POLICY
+
+    def setup(self):
+        from advancedliteratemachinery_tpu.models.gem import (
+            GEMConfig,
+            XPathEmbedding,
+        )
+
+        self.vae = ElementVAE(self.cfg, policy=self.policy)
+        self.chrlen_table = nn.Embed(self.fid.max_chrlen,
+                                     self.fid.chrlen_dim,
+                                     param_dtype=self.policy.param_dtype)
+        self.xpath_layer = XPathEmbedding(
+            self.gem_cfg or GEMConfig(hidden_size=self.fid.xpath_dim),
+            policy=self.policy)
+        self.backbone = FIDBackbone(self.fid, policy=self.policy)
+
+    def __call__(self, param_ids, chrlen, xpath_tags, xpath_subs,
+                 element_mask, rng, sample: bool = True):
+        """param_ids [B, E, P] ints; chrlen [B, E] ints; xpath_* [B, E,
+        depth]; element_mask [B, E] → {"output" [B, 2], "hidden_state"
+        [B, embed]} (the hidden_state feeds eval.webrpg_metrics FID).
+        sample=False uses the VAE posterior mean (deterministic features —
+        the reference reparameterizes even at eval, FID_model.py:117)."""
+        B, E, P = param_ids.shape
+        mu, logvar = self.vae.encode(param_ids.reshape(B * E, P))
+        if sample:
+            eps = jax.random.normal(rng, mu.shape, mu.dtype)
+            z = mu + eps * jnp.exp(0.5 * logvar)
+        else:
+            z = mu
+        z = z.reshape(B, E, -1)
+        chrlen_emb = self.chrlen_table(chrlen)
+        xpath_emb = self.xpath_layer(xpath_tags, xpath_subs)
+        logits, pooled = self.backbone(z, chrlen_emb, xpath_emb,
+                                       element_mask)
+        return {"output": logits, "hidden_state": pooled}
+
+
+def make_fid_feature_fn(model: FIDWebModel, variables, rng_seed: int = 0):
+    """→ feature_fn(params [E, P], record) for
+    eval.webrpg_metrics.webrpg_run_tests — records carry the reference
+    .pt schema keys (element_mask, chrlen, all_xpath_tags_seq,
+    all_xpath_subs_seq)."""
+
+    def feature_fn(params, record):
+        rng = jax.random.PRNGKey(rng_seed)
+        out = model.apply(
+            variables,
+            jnp.asarray(params, jnp.int32)[None],
+            jnp.asarray(record["chrlen"], jnp.int32)[None],
+            jnp.asarray(record["all_xpath_tags_seq"], jnp.int32)[None],
+            jnp.asarray(record["all_xpath_subs_seq"], jnp.int32)[None],
+            jnp.asarray(record["element_mask"], jnp.float32)[None],
+            rng)
+        return np.asarray(out["hidden_state"][0])
+
+    return feature_fn
