@@ -561,6 +561,7 @@ def cmd_train(args) -> int:
 
     mesh = create_mesh(data=-1, fsdp=args.fsdp, model=args.tp)
     L = args.batch_max_length
+    batch_stats = None
 
     if args.model == "mgp_str":
         from advancedliteratemachinery_tpu.engine.infer import MGPSTRInference
@@ -677,6 +678,39 @@ def cmd_train(args) -> int:
                             grad_clip=0.1, weight_decay=1e-4,
                             warmup_steps=args.warmup_steps)
         eval_fn = None
+    elif args.model == "db":
+        from advancedliteratemachinery_tpu.data.coco_spotting import (
+            CocoSpottingDataset,
+        )
+        from advancedliteratemachinery_tpu.models.db import DBConfig, DBDetector
+
+        model = DBDetector(DBConfig())
+        size = args.image_size
+        variables = model.init(jax.random.PRNGKey(args.seed),
+                               jnp.zeros((1, size, size, 3)), train=True)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        ds = CocoSpottingDataset(args.img_root or ".", args.train_data[0])
+        batch_iter = B.db_batches(ds, args.batch_size,
+                                  image_hw=(size, size), seed=args.seed)
+        loss_fn, _ = B.db_recipe_u8(model)
+        tx = make_optimizer(lr=args.lr, total_steps=args.steps,
+                            grad_clip=5.0, warmup_steps=args.warmup_steps)
+        eval_fn = None
+    elif args.model == "lore":
+        from advancedliteratemachinery_tpu.models.lore import LORE
+
+        model = LORE()
+        size = args.image_size
+        variables = model.init_full(jax.random.PRNGKey(args.seed),
+                                    image_shape=(size, size))
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        ds = B.TableDataset(args.img_root or ".", args.train_data[0])
+        batch_iter = B.lore_batches(ds, args.batch_size,
+                                    image_hw=(size, size), seed=args.seed)
+        loss_fn, _ = B.lore_recipe_u8(model)
+        tx = make_optimizer(lr=args.lr, total_steps=args.steps,
+                            grad_clip=5.0, warmup_steps=args.warmup_steps)
+        eval_fn = None
     else:
         raise SystemExit(f"unknown trainable model {args.model!r}")
 
@@ -686,6 +720,7 @@ def cmd_train(args) -> int:
         save_interval=args.save_interval, ckpt_dir=args.ckpt_dir,
         resume=args.resume, seed=args.seed)
     result = fit(loss_fn, tx, params, batch_iter, fit_cfg, mesh=mesh,
+                 batch_stats=batch_stats,
                  eval_fn=eval_fn if args.val_data else None)
     print(json.dumps({
         "model": args.model, "steps_run": result.steps_run,
@@ -750,7 +785,8 @@ def main(argv=None) -> int:
     sub.add_parser("bench", help="run the repo benchmark")
 
     p = sub.add_parser("train", help="launch/resume a training run")
-    p.add_argument("model", choices=["mgp_str", "lister", "omniparser"])
+    p.add_argument("model", choices=["mgp_str", "lister", "omniparser",
+                                     "db", "lore"])
     p.add_argument("--train-data", nargs="+", required=True,
                    help="LMDB source dirs (mixed per --ratios); for "
                         "omniparser: a COCO spotting annotation json")

@@ -213,3 +213,158 @@ def omniparser_recipe_u8(model, padding_index: int) -> Tuple[Callable, Any]:
     return loss_fn, make_optimizer(lr=5e-4, total_steps=400_000,
                                    grad_clip=0.1, weight_decay=1e-4,
                                    warmup_steps=5_000)
+
+
+def db_batches(
+    dataset,
+    batch_size: int,
+    image_hw: Tuple[int, int] = (640, 640),
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """DB detector batches from COCO spotting annotations: resized uint8
+    pages + the DB paper's shrunk-probability / border-threshold maps
+    (models.db.db_targets, polygons scaled to the train size)."""
+    import os
+
+    from PIL import Image
+
+    from advancedliteratemachinery_tpu.data.coco_spotting import (
+        bezier_polygon,
+    )
+    from advancedliteratemachinery_tpu.models.db import db_targets
+
+    rng = np.random.default_rng(seed)
+    H, W = image_hw
+    while True:
+        batch = {
+            "images": np.zeros((batch_size, H, W, 3), np.uint8),
+            "gt_prob": np.zeros((batch_size, H, W, 1), np.float32),
+            "gt_thresh": np.zeros((batch_size, H, W, 1), np.float32),
+            "thresh_mask": np.zeros((batch_size, H, W, 1), np.float32),
+        }
+        for b in range(batch_size):
+            s = dataset[int(rng.integers(0, len(dataset)))]
+            path = os.path.join(s["image_folder"], s["file_name"])
+            try:
+                img = Image.open(path).convert("RGB").resize((W, H))
+                batch["images"][b] = np.asarray(img)
+            except FileNotFoundError:
+                pass
+            h0, w0 = s["orig_size"]
+            sx, sy = W / w0, H / h0
+            polys = [bezier_polygon(bp) * np.asarray([sx, sy], np.float32)
+                     for bp in s["bezier_pts"]]
+            t = db_targets(polys, image_hw)
+            for k in ("gt_prob", "gt_thresh", "thresh_mask"):
+                batch[k][b] = t[k]
+        yield batch
+
+
+def db_recipe_u8(model) -> Tuple[Callable, Any]:
+    """db_recipe (mutable: BatchNorm stats) with uint8 images normalized
+    on device."""
+    from advancedliteratemachinery_tpu.engine.recipes import db_recipe
+
+    base_loss, tx = db_recipe(model)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        x = normalize_crops(batch["images"], dtype=model.policy.compute_dtype)
+        b = dict(batch)
+        b["images"] = x
+        return base_loss(params, batch_stats, b, rng)
+
+    return loss_fn, tx
+
+
+class TableDataset:
+    """COCO-style table annotations for LORE training (the reference's
+    dataset jsons carry `segmentation` 8-point cell polys and `logic_axis`
+    [r0, r1, c0, c1] per annotation — src/lib/datasets/sample/ctdet.py)."""
+
+    def __init__(self, image_folder: str, anno_file: str):
+        import json
+
+        self.image_folder = image_folder
+        with open(anno_file) as f:
+            coco = json.load(f)
+        self.images = {im["id"]: im for im in coco["images"]}
+        self.anns: Dict[int, list] = {}
+        for a in coco["annotations"]:
+            self.anns.setdefault(a["image_id"], []).append(a)
+        self.ids = sorted(self.images)
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, idx):
+        info = self.images[self.ids[idx]]
+        anns = self.anns.get(self.ids[idx], [])
+        cells = np.asarray([np.asarray(a["segmentation"],
+                                       np.float32).reshape(4, 2)
+                            for a in anns], np.float32) \
+            if anns else np.zeros((0, 4, 2), np.float32)
+        logic = np.asarray([np.asarray(a["logic_axis"],
+                                       np.float32).reshape(-1)[:4]
+                            for a in anns], np.float32) \
+            if anns else np.zeros((0, 4), np.float32)
+        return {"file_name": info["file_name"],
+                "image_folder": self.image_folder,
+                "orig_size": (info["height"], info["width"]),
+                "cells": cells, "logic": logic}
+
+
+def lore_batches(
+    dataset: TableDataset,
+    batch_size: int,
+    image_hw: Tuple[int, int] = (512, 512),
+    max_cells: int = 128,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """LORE batches: resized uint8 pages + CenterNet targets
+    (models.lore.lore_targets with cells scaled to the train size)."""
+    import os
+
+    from PIL import Image
+
+    from advancedliteratemachinery_tpu.models.lore import lore_targets
+
+    rng = np.random.default_rng(seed)
+    H, W = image_hw
+    while True:
+        batch = None
+        for b in range(batch_size):
+            s = dataset[int(rng.integers(0, len(dataset)))]
+            path = os.path.join(s["image_folder"], s["file_name"])
+            h0, w0 = s["orig_size"]
+            scale = np.asarray([W / w0, H / h0], np.float32)
+            cells = s["cells"] * scale[None, None]
+            t = lore_targets(cells, s["logic"], image_hw,
+                             max_cells=max_cells)
+            if batch is None:
+                batch = {"images": np.zeros((batch_size, H, W, 3),
+                                            np.uint8)}
+                batch.update({k: np.zeros((batch_size,) + v.shape,
+                                          v.dtype) for k, v in t.items()})
+            try:
+                img = Image.open(path).convert("RGB").resize((W, H))
+                batch["images"][b] = np.asarray(img)
+            except FileNotFoundError:
+                pass
+            for k, v in t.items():
+                batch[k][b] = v
+        yield batch
+
+
+def lore_recipe_u8(model) -> Tuple[Callable, Any]:
+    """lore_recipe (mutable) with uint8 images normalized on device."""
+    from advancedliteratemachinery_tpu.engine.recipes import lore_recipe
+
+    base_loss, tx = lore_recipe(model)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        b = dict(batch)
+        b["images"] = normalize_crops(batch["images"],
+                                      dtype=model.policy.compute_dtype)
+        return base_loss(params, batch_stats, b, rng)
+
+    return loss_fn, tx

@@ -208,3 +208,63 @@ def extract_boxes(prob_map: np.ndarray, bin_thresh: float = 0.3,
         return np.zeros((0, 8), np.float32), np.zeros((0,), np.float32)
     order = np.argsort(scores)[::-1]
     return np.stack(quads)[order], np.asarray(scores, np.float32)[order]
+
+
+# ---------------- host-side training target generation ----------------
+
+
+def _offset_poly(poly: np.ndarray, dist: float) -> np.ndarray:
+    """Offset a polygon outward (dist > 0) or inward along the
+    center-to-vertex direction — the same approximation extract_boxes uses
+    for unclipping (pyclipper-free)."""
+    center = poly.mean(axis=0)
+    vec = poly - center
+    norm = np.linalg.norm(vec, axis=1, keepdims=True) + 1e-6
+    return poly + vec / norm * dist
+
+
+def db_targets(polys, hw: Tuple[int, int], shrink_ratio: float = 0.4,
+               thresh_min: float = 0.3, thresh_max: float = 0.7
+               ) -> Dict[str, np.ndarray]:
+    """Standard DB training maps from text polygons (the DB paper's label
+    generation, used by the ModelScope detector DocXChain wraps):
+
+    - gt_prob:   polygons shrunk by offset d = A(1-r²)/L, filled 1;
+    - gt_thresh: a border band between the shrunk and dilated polygons
+                 ramping thresh_max (on the boundary) → thresh_min;
+    - thresh_mask: 1 inside the dilated band (where the L1 thresh loss
+                 applies).
+
+    polys: iterable of [K, 2] float arrays (page coords); hw: (H, W).
+    """
+    import cv2
+
+    H, W = hw
+    gt_prob = np.zeros((H, W, 1), np.float32)
+    thresh_canvas = np.zeros((H, W), np.float32)
+    thresh_mask = np.zeros((H, W, 1), np.float32)
+    for poly in polys:
+        poly = np.asarray(poly, np.float32).reshape(-1, 2)
+        if len(poly) < 3:
+            continue
+        area = cv2.contourArea(poly)
+        length = cv2.arcLength(poly, True)
+        if area < 1 or length < 1:
+            continue
+        d = area * (1 - shrink_ratio ** 2) / length
+        shrunk = _offset_poly(poly, -d).astype(np.int32)
+        cv2.fillPoly(gt_prob, [shrunk], 1.0)
+        dilated = _offset_poly(poly, d).astype(np.int32)
+        band = np.zeros((H, W), np.uint8)
+        cv2.fillPoly(band, [dilated], 1)
+        thresh_mask[band > 0] = 1.0
+        # distance to the ORIGINAL polygon boundary, normalized by d
+        edge = np.zeros((H, W), np.uint8)
+        cv2.polylines(edge, [poly.astype(np.int32)], True, 1)
+        dist = cv2.distanceTransform(1 - edge, cv2.DIST_L2, 3)
+        ramp = np.clip(1.0 - dist / max(d, 1e-6), 0.0, 1.0) * band
+        thresh_canvas = np.maximum(thresh_canvas, ramp)
+    gt_thresh = (thresh_min
+                 + (thresh_max - thresh_min) * thresh_canvas)[..., None]
+    return {"gt_prob": gt_prob, "gt_thresh": gt_thresh.astype(np.float32),
+            "thresh_mask": thresh_mask}

@@ -25,6 +25,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from advancedliteratemachinery_tpu.core.config import ConfigBase
@@ -316,3 +317,94 @@ def make_table_predict_fn(model: "LORE", variables, input_size: int = 512,
                 "logi_coords": logic[keep]}
 
     return predict
+
+
+# ---------------- host-side training target generation ----------------
+
+
+def gaussian_radius(det_size: Tuple[float, float],
+                    min_overlap: float = 0.7) -> float:
+    """CornerNet radius heuristic (reference src/lib/utils/image.py
+    gaussian_radius — the min of the three quadratic solutions)."""
+    height, width = det_size
+    a1 = 1
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    sq1 = np.sqrt(max(b1 ** 2 - 4 * a1 * c1, 0))
+    r1 = (b1 + sq1) / 2
+    a2 = 4
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    sq2 = np.sqrt(max(b2 ** 2 - 4 * a2 * c2, 0))
+    r2 = (b2 + sq2) / 2
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    sq3 = np.sqrt(max(b3 ** 2 - 4 * a3 * c3, 0))
+    r3 = (b3 + sq3) / 2
+    return max(0.0, min(r1, r2, r3))
+
+
+def draw_gaussian(heatmap: np.ndarray, center, radius: int) -> None:
+    """Splat an unnormalized 2D gaussian (image.py draw_umich_gaussian)."""
+    diameter = 2 * radius + 1
+    sigma = diameter / 6
+    y, x = np.ogrid[-radius: radius + 1, -radius: radius + 1]
+    gaussian = np.exp(-(x * x + y * y) / (2 * sigma * sigma))
+    cx, cy = int(center[0]), int(center[1])
+    H, W = heatmap.shape
+    left, right = min(cx, radius), min(W - cx, radius + 1)
+    top, bottom = min(cy, radius), min(H - cy, radius + 1)
+    if right + left <= 0 or top + bottom <= 0:
+        return
+    masked = heatmap[cy - top: cy + bottom, cx - left: cx + right]
+    g = gaussian[radius - top: radius + bottom,
+                 radius - left: radius + right]
+    np.maximum(masked, g, out=masked)
+
+
+def lore_targets(cells, logic_axes, hw: Tuple[int, int],
+                 down_ratio: int = 4, max_cells: int = 128
+                 ) -> Dict[str, np.ndarray]:
+    """LORE CenterNet training targets (reference
+    src/lib/datasets/sample/ctdet.py label generation):
+
+    - hm [H/4, W/4, 2]: gaussian peaks at cell centers (ch 0) and at the
+      four cell corners (ch 1);
+    - wh_target [K, 8]: corner offsets from the (integer) center;
+    - ct_inds/ct_mask [K]: flat center indices into the output grid;
+    - logic_target [K, 4]: row/col start/end;
+    - gt_boxes [K, 8]: output-resolution corner coords (Processor input).
+
+    cells: [N, 4, 2] page-coordinate corner arrays; logic_axes: [N, 4].
+    """
+    H, W = hw
+    ho, wo = H // down_ratio, W // down_ratio
+    hm = np.zeros((ho, wo, 2), np.float32)
+    wh = np.zeros((max_cells, 8), np.float32)
+    inds = np.zeros((max_cells,), np.int32)
+    mask = np.zeros((max_cells,), np.float32)
+    logic = np.zeros((max_cells, 4), np.float32)
+    boxes = np.zeros((max_cells, 8), np.float32)
+    for k, cell in enumerate(cells[:max_cells]):
+        c = np.asarray(cell, np.float32).reshape(4, 2) / down_ratio
+        ct = c.mean(axis=0)
+        cti = np.floor(ct).astype(np.int32)
+        if not (0 <= cti[0] < wo and 0 <= cti[1] < ho):
+            continue
+        h_box = float(c[:, 1].max() - c[:, 1].min())
+        w_box = float(c[:, 0].max() - c[:, 0].min())
+        radius = max(0, int(gaussian_radius((np.ceil(h_box),
+                                             np.ceil(w_box)))))
+        draw_gaussian(hm[..., 0], cti, radius)
+        for corner in c:
+            ci = np.floor(corner).astype(np.int32)
+            if 0 <= ci[0] < wo and 0 <= ci[1] < ho:
+                draw_gaussian(hm[..., 1], ci, max(1, radius // 2))
+        wh[k] = (c - ct[None]).reshape(-1)
+        inds[k] = cti[1] * wo + cti[0]
+        mask[k] = 1.0
+        logic[k] = np.asarray(logic_axes[k], np.float32)
+        boxes[k] = c.reshape(-1)
+    return {"hm": hm, "wh_target": wh, "ct_inds": inds, "ct_mask": mask,
+            "logic_target": logic, "gt_boxes": boxes}
