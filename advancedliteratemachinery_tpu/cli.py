@@ -678,6 +678,49 @@ def cmd_train(args) -> int:
                             grad_clip=0.1, weight_decay=1e-4,
                             warmup_steps=args.warmup_steps)
         eval_fn = None
+    elif args.model == "levocr":
+        from advancedliteratemachinery_tpu.engine.infer import LevOCRInference
+        from advancedliteratemachinery_tpu.models.levocr import (
+            LevOCR, LevOCRConfig, LevtDictionary)
+
+        cfg = LevOCRConfig()
+        model = LevOCR(cfg)
+        d = LevtDictionary(max_len=cfg.max_len)
+        charset = args.charset or "".join(d.itos[4:])
+        tok = jnp.asarray(d.encode([""]))
+        variables = model.init(jax.random.PRNGKey(args.seed),
+                               jnp.zeros((1, 32, 128, 3)), tok, tok, tok)
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        if args.init_torch_ckpt:
+            from advancedliteratemachinery_tpu.engine.checkpoint import (
+                TORCH_IMPORTERS, load_torch_state_dict)
+
+            imported = TORCH_IMPORTERS["levocr"](
+                load_torch_state_dict(args.init_torch_ckpt),
+                jax.tree.map(np.asarray, dict(variables)))
+            params, batch_stats = imported["params"], imported["batch_stats"]
+        datasets = [LmdbStrDataset(p, charset=charset, max_length=L)
+                    for p in args.train_data]
+        ratios = args.ratios or [1.0] * len(datasets)
+        mixer = BalancedMixer(datasets, ratios, args.batch_size,
+                              seed=args.seed)
+        batch_iter = B.levocr_batches(
+            mixer, d, vision_len=cfg.vision.max_length,
+            vision_classes=cfg.vision.num_classes, seed=args.seed)
+        loss_fn, _ = B.levocr_recipe_u8(model, cfg)
+        tx = make_optimizer(lr=args.lr, total_steps=args.steps,
+                            grad_clip=5.0, warmup_steps=args.warmup_steps)
+        engine = LevOCRInference(model, {"params": params,
+                                         "batch_stats": batch_stats})
+
+        def eval_fn(state):
+            v = {"params": state.params, "batch_stats": state.batch_stats}
+            return {"accuracy": benchmark_all_eval(
+                lambda imgs: engine.recognize(imgs, variables=v),
+                args.val_data, charset=charset, max_length=L,
+                batch_size=args.batch_size)["total_accuracy"]}
+
     elif args.model == "db":
         from advancedliteratemachinery_tpu.data.coco_spotting import (
             CocoSpottingDataset,
@@ -785,8 +828,8 @@ def main(argv=None) -> int:
     sub.add_parser("bench", help="run the repo benchmark")
 
     p = sub.add_parser("train", help="launch/resume a training run")
-    p.add_argument("model", choices=["mgp_str", "lister", "omniparser",
-                                     "db", "lore"])
+    p.add_argument("model", choices=["mgp_str", "lister", "levocr",
+                                     "omniparser", "db", "lore"])
     p.add_argument("--train-data", nargs="+", required=True,
                    help="LMDB source dirs (mixed per --ratios); for "
                         "omniparser: a COCO spotting annotation json")

@@ -368,3 +368,82 @@ def lore_recipe_u8(model) -> Tuple[Callable, Any]:
         return base_loss(params, batch_stats, b, rng)
 
     return loss_fn, tx
+
+
+def levocr_batches(
+    mixer: BalancedMixer,
+    dictionary,
+    vision_len: int = 8,
+    vision_classes: int = 37,
+    sub_prob: float = 0.2,
+    collate: Optional[AlignCollate] = None,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """LevOCR imitation-learning batches (reference models.py:62
+    inject_noise + levt/levenshtein_utils.py supervision):
+
+    - noised_tokens: random-delete corruption of the target (the roll-in);
+    - masked_tgt_tokens + mask_ins/word_ins targets from the Levenshtein
+      alignment (native C path when built, Python oracle otherwise);
+    - word_predictions: target with random substitutions (simulated
+      refinement output) scored by the deletion head;
+    - vision_targets: ABINet charset ids (0 = EOS/pad, chars 1-based).
+    """
+    from advancedliteratemachinery_tpu.models.levocr import (
+        BOS, EOS, PAD, UNK)
+    from advancedliteratemachinery_tpu.ops.levenshtein import (
+        ins_del_targets,
+        ins_del_targets_native,
+        random_delete,
+    )
+
+    collate = collate or AlignCollate()
+    rng = np.random.default_rng(seed)
+    charset = dictionary.itos[4:]
+    char_to_vis = {c: i + 1 for i, c in enumerate(charset)}
+    n_toks = len(dictionary)
+    while True:
+        samples = mixer.get_batch()
+        images, labels = collate(samples)
+        tgt = dictionary.encode(labels)
+        noised = random_delete(rng, tgt, PAD, BOS, EOS)
+        res = ins_del_targets_native(noised, tgt, PAD, UNK)
+        if res is None:
+            res = ins_del_targets(noised, tgt, PAD, UNK)
+        masked, masked_tgt, ins_t, del_t = res
+        preds = tgt.copy()
+        inner = (preds != PAD) & (preds != BOS) & (preds != EOS)
+        subs = (rng.uniform(size=preds.shape) < sub_prob) & inner
+        preds[subs] = rng.integers(4, n_toks, subs.sum())
+        vision = np.zeros((len(labels), vision_len), np.int32)
+        for i, t in enumerate(labels):
+            ids = [char_to_vis.get(c, 0) for c in t][: vision_len - 1]
+            vision[i, : len(ids)] = ids          # trailing zeros = EOS/pad
+        yield {
+            "images": images,
+            "noised_tokens": noised.astype(np.int32),
+            "masked_tgt_tokens": masked_tgt.astype(np.int32),
+            "word_predictions": preds.astype(np.int32),
+            "mask_ins_targets": ins_t.astype(np.int32),
+            "mask_ins_masks": (noised[:, 1:] != PAD),
+            "word_ins_targets": tgt.astype(np.int32),
+            "word_ins_masks": masked,
+            "word_del_targets": del_t.astype(np.int32),
+            "word_del_masks": (preds != PAD),
+            "vision_targets": vision,
+        }
+
+
+def levocr_recipe_u8(model, cfg) -> Tuple[Callable, Any]:
+    """levocr_recipe (mutable) with uint8 images normalized on device."""
+    from advancedliteratemachinery_tpu.engine.recipes import levocr_recipe
+
+    base_loss, tx = levocr_recipe(model, cfg)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        b = dict(batch)
+        b["images"] = normalize_crops(batch["images"],
+                                      dtype=model.policy.compute_dtype)
+        return base_loss(params, batch_stats, b, rng)
+
+    return loss_fn, tx
