@@ -761,7 +761,7 @@ def cmd_train(args) -> int:
         total_steps=args.steps, log_interval=args.log_interval,
         val_interval=args.val_interval if args.val_data else 0,
         save_interval=args.save_interval, ckpt_dir=args.ckpt_dir,
-        resume=args.resume, seed=args.seed)
+        resume=args.resume, seed=args.seed, profile_dir=args.profile)
     result = fit(loss_fn, tx, params, batch_iter, fit_cfg, mesh=mesh,
                  batch_stats=batch_stats,
                  eval_fn=eval_fn if args.val_data else None)
@@ -858,6 +858,8 @@ def main(argv=None) -> int:
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel axis")
     p.add_argument("--init-torch-ckpt",
                    help="initialize from a reference torch checkpoint")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace of a few train steps")
 
     p = sub.add_parser("eval",
                        help="STR benchmark over LMDB eval sets "

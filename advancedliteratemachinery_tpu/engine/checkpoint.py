@@ -48,13 +48,41 @@ def _t(x) -> np.ndarray:
 
 
 def load_torch_state_dict(path: str, trusted: bool = False) -> Dict[str, np.ndarray]:
-    """Load a torch checkpoint safely.
+    """Load a released checkpoint safely: torch .pth/.bin (weights_only),
+    .safetensors, or a sharded HF `*.index.json` (shards merged).
 
     Defaults to ``weights_only=True`` — released checkpoints are untrusted
     third-party artifacts and full pickle deserialization executes arbitrary
     code. Pass ``trusted=True`` only for checkpoints you built yourself that
     genuinely need legacy pickle (e.g. whole-module saves).
     """
+    import os
+
+    def finish(sd):
+        for key in ("model", "state_dict", "net"):
+            if isinstance(sd, dict) and key in sd and isinstance(sd[key],
+                                                                 dict):
+                sd = sd[key]
+        # strip DDP 'module.' prefixes (reference wraps models in DDP)
+        return {re.sub(r"^module\.", "", k): _t(v) for k, v in sd.items()}
+
+    if path.endswith(".safetensors"):
+        from safetensors import numpy as st
+
+        return finish(dict(st.load_file(path)))
+    if path.endswith(".index.json"):
+        # HF sharded checkpoint: {"weight_map": {tensor: shard_file}}
+        import json
+
+        with open(path, encoding="utf-8") as f:
+            index = json.load(f)
+        base = os.path.dirname(os.path.abspath(path))
+        merged: Dict[str, np.ndarray] = {}
+        for shard in sorted(set(index["weight_map"].values())):
+            merged.update(load_torch_state_dict(os.path.join(base, shard),
+                                                trusted=trusted))
+        return merged
+
     import torch
 
     try:
@@ -66,11 +94,7 @@ def load_torch_state_dict(path: str, trusted: bool = False) -> Dict[str, np.ndar
                 "trust its origin, retry with trusted=True"
             )
         raise
-    for key in ("model", "state_dict", "net"):
-        if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
-            sd = sd[key]
-    # strip DDP 'module.' prefixes (reference wraps all models in DDP)
-    return {re.sub(r"^module\.", "", k): _t(v) for k, v in sd.items()}
+    return finish(sd)
 
 
 def conv_kernel(w: np.ndarray) -> np.ndarray:

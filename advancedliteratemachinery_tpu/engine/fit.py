@@ -56,6 +56,8 @@ class FitConfig:
     resume: bool = False
     seed: int = 0
     best_key: str = "accuracy"     # metric maximized for the `best` ckpt
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    profile_steps: int = 5         # steps traced (after a warmup step)
 
 
 @dataclasses.dataclass
@@ -201,12 +203,26 @@ def fit(
     step_no = start_step
     last_metrics: Optional[Dict[str, float]] = None
     try:
+        profiling = False
         for step_no in range(start_step + 1, cfg.total_steps + 1):
+            if cfg.profile_dir and step_no == start_step + 2:
+                # skip the compile step, then trace profile_steps steps
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+                _log(f"[fit] tracing steps {step_no}.."
+                     f"{step_no + cfg.profile_steps - 1} → "
+                     f"{cfg.profile_dir}")
             batch = next(batches)
             if bshard is not None:
                 batch = jax.device_put(batch, bshard)
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, sub)
+            if profiling and step_no >= start_step + 1 + cfg.profile_steps:
+                jax.tree.map(
+                    lambda a: a.block_until_ready()
+                    if hasattr(a, "block_until_ready") else a, metrics)
+                jax.profiler.stop_trace()
+                profiling = False
 
             if step_no % cfg.log_interval == 0 or step_no == cfg.total_steps:
                 host = {k: float(v) for k, v in
@@ -229,6 +245,8 @@ def fit(
                              or step_no % cfg.save_interval != 0):
             save_train_state(cfg.ckpt_dir, state, step_no)
     finally:
+        if cfg.profile_dir and profiling:
+            jax.profiler.stop_trace()
         if log_file:
             log_file.close()
 

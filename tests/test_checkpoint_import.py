@@ -144,3 +144,44 @@ class TestTorchImportParity:
         loaded = load_torch_state_dict(p)
         assert "cls_token" in loaded
         assert not any(k.startswith("module.") for k in loaded)
+
+
+class TestCheckpointFormats:
+    def test_safetensors_roundtrip(self, tmp_path):
+        from safetensors import numpy as st
+
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            load_torch_state_dict,
+        )
+
+        sd = {"module.layer.weight": np.ones((3, 4), np.float32),
+              "module.layer.bias": np.zeros(4, np.float32)}
+        p = str(tmp_path / "m.safetensors")
+        st.save_file(sd, p)
+        loaded = load_torch_state_dict(p)
+        assert set(loaded) == {"layer.weight", "layer.bias"}
+        np.testing.assert_array_equal(loaded["layer.weight"],
+                                      np.ones((3, 4)))
+
+    def test_sharded_index_merges(self, tmp_path):
+        import json
+
+        from safetensors import numpy as st
+
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            load_torch_state_dict,
+        )
+
+        st.save_file({"a.weight": np.ones(2, np.float32)},
+                     str(tmp_path / "model-00001-of-00002.safetensors"))
+        st.save_file({"b.weight": np.full(3, 2.0, np.float32)},
+                     str(tmp_path / "model-00002-of-00002.safetensors"))
+        index = {"weight_map": {
+            "a.weight": "model-00001-of-00002.safetensors",
+            "b.weight": "model-00002-of-00002.safetensors"}}
+        p = str(tmp_path / "model.safetensors.index.json")
+        with open(p, "w") as f:
+            json.dump(index, f)
+        loaded = load_torch_state_dict(p)
+        assert set(loaded) == {"a.weight", "b.weight"}
+        np.testing.assert_array_equal(loaded["b.weight"], [2.0, 2.0, 2.0])

@@ -216,3 +216,32 @@ class TestTrainCli:
         assert rc == 0
         payload2 = json.loads(out2.getvalue().strip().splitlines()[-1])
         assert payload2["steps_run"] == 0  # already at total_steps
+
+
+class TestFitProfile:
+    def test_trace_written(self, tmp_path):
+        """FitConfig(profile_dir=...) captures a jax.profiler trace of a
+        few steps (the train CLI's --profile)."""
+        import itertools
+        import os
+
+        import optax
+
+        def loss_fn(params, batch, rng):
+            loss = jnp.sum((params["w"] - batch["x"]) ** 2)
+            return loss, {"loss": loss}
+
+        batch = {"x": np.ones((8, 4), np.float32)}
+        res = fit(loss_fn, optax.sgd(0.1), {"w": jnp.zeros((8, 4))},
+                  itertools.repeat(batch),
+                  FitConfig(total_steps=5, log_interval=5,
+                            profile_dir=str(tmp_path / "trace"),
+                            profile_steps=2),
+                  mesh=create_mesh(data=1, devices=jax.devices()[:1]),
+                  log_fn=lambda m: None)
+        assert res.steps_run == 5
+        found = []
+        for root, _, files in os.walk(tmp_path / "trace"):
+            found += [f for f in files if f.endswith((".pb", ".json.gz",
+                                                      ".xplane.pb"))]
+        assert found, "no profiler artifacts written"
