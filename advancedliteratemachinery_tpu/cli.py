@@ -721,6 +721,32 @@ def cmd_train(args) -> int:
                 args.val_data, charset=charset, max_length=L,
                 batch_size=args.batch_size)["total_accuracy"]}
 
+    elif args.model == "geolayoutlm":
+        from advancedliteratemachinery_tpu.engine.recipes import (
+            geolayoutlm_recipe,
+        )
+        from advancedliteratemachinery_tpu.models.geolayoutlm import (
+            GeoLayoutLM, GeoLayoutLMConfig)
+
+        cfg = GeoLayoutLMConfig()
+        model = GeoLayoutLM(cfg)
+        ds = B.VIEPreprocessedDataset(args.train_data[0])
+        batch_iter = B.vie_batches(ds, args.batch_size,
+                                   image_size=cfg.image_size,
+                                   seed=args.seed)
+        sample = jax.tree.map(jnp.asarray, next(batch_iter))
+        params = model.init(jax.random.PRNGKey(args.seed), sample)["params"]
+        if args.init_torch_ckpt:
+            from advancedliteratemachinery_tpu.engine.checkpoint import (
+                TORCH_IMPORTERS, load_torch_state_dict)
+
+            params = TORCH_IMPORTERS["geolayoutlm_vie"](
+                load_torch_state_dict(args.init_torch_ckpt),
+                jax.tree.map(np.asarray, params))
+        loss_fn, _ = geolayoutlm_recipe(model)
+        tx = make_optimizer(lr=args.lr, total_steps=args.steps,
+                            grad_clip=1.0, warmup_steps=args.warmup_steps)
+        eval_fn = None
     elif args.model == "db":
         from advancedliteratemachinery_tpu.data.coco_spotting import (
             CocoSpottingDataset,
@@ -829,7 +855,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("train", help="launch/resume a training run")
     p.add_argument("model", choices=["mgp_str", "lister", "levocr",
-                                     "omniparser", "db", "lore"])
+                                     "omniparser", "db", "lore",
+                                     "geolayoutlm"])
     p.add_argument("--train-data", nargs="+", required=True,
                    help="LMDB source dirs (mixed per --ratios); for "
                         "omniparser: a COCO spotting annotation json")

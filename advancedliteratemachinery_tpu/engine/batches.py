@@ -447,3 +447,147 @@ def levocr_recipe_u8(model, cfg) -> Tuple[Callable, Any]:
         return base_loss(params, batch_stats, b, rng)
 
     return loss_fn, tx
+
+
+class VIEPreprocessedDataset:
+    """GeoLayoutLM-preprocessed page jsons (the output schema of reference
+    preprocess/funsd_el/preprocess.py: blocks.first_token_idx_list /
+    blocks.boxes, words[].tokens/boundingBox, parse.class/parse.relations,
+    meta.image_path)."""
+
+    def __init__(self, json_files):
+        import glob
+        import json
+        import os
+
+        if isinstance(json_files, str):
+            if os.path.isdir(json_files):
+                json_files = sorted(glob.glob(
+                    os.path.join(json_files, "*.json")))
+            else:
+                json_files = [json_files]
+        self.pages = []
+        for f in json_files:
+            with open(f, encoding="utf-8") as fh:
+                self.pages.append(json.load(fh))
+
+    def __len__(self):
+        return len(self.pages)
+
+    def __getitem__(self, idx):
+        return self.pages[idx]
+
+
+def vie_batches(
+    dataset: VIEPreprocessedDataset,
+    batch_size: int,
+    class_names=("HEADER", "QUESTION", "ANSWER"),
+    max_seq: int = 512,
+    max_blocks: int = 96,
+    image_size: int = 896,
+    cls_id: int = 101,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """GeoLayoutLM VIE batches (reference
+    lightning_modules/data_modules/vie_dataset.py _getitem_geo): [CLS] +
+    word tokens with 4-point boxes, per-token BIO labels (B- on an
+    entity's first token, I- on the rest, -100 on specials/pad),
+    block-level linking labels from parse.relations, block ranks."""
+    import os
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    S, N = max_seq, max_blocks
+    n_cls = len(class_names)
+    while True:
+        batch = {
+            "image": np.zeros((batch_size, image_size, image_size, 3),
+                              np.float32),
+            "input_ids": np.zeros((batch_size, S), np.int32),
+            "bbox_4p_normalized": np.zeros((batch_size, S, 8), np.float32),
+            "attention_mask": np.zeros((batch_size, S), np.int32),
+            "bbox": np.zeros((batch_size, S, 4), np.int32),
+            "first_token_idxes": np.zeros((batch_size, N), np.int32),
+            "block_mask": np.zeros((batch_size, N), np.int32),
+            "line_rank_id": np.zeros((batch_size, S), np.int32),
+            "line_rank_inner_id": np.zeros((batch_size, S), np.int32),
+            "bio_labels": np.full((batch_size, S), -100, np.int32),
+            "el_labels_blk": np.zeros((batch_size, N, N), np.float32),
+            "el_label_blk_mask": np.zeros((batch_size, N, N), np.float32),
+        }
+        for b in range(batch_size):
+            page = dataset[int(rng.integers(0, len(dataset)))]
+            meta = page.get("meta", {})
+            W = float(meta.get("width", 1000))
+            H = float(meta.get("height", 1000))
+            img_path = meta.get("image_path")
+            if img_path and os.path.exists(img_path):
+                img = Image.open(img_path).convert("RGB").resize(
+                    (image_size, image_size))
+                batch["image"][b] = np.asarray(img, np.float32)
+
+            first_tok = page["blocks"]["first_token_idx_list"][:N]
+            batch["first_token_idxes"][b, : len(first_tok)] = first_tok
+            batch["block_mask"][b, : len(first_tok)] = 1
+
+            batch["input_ids"][b, 0] = cls_id
+            batch["attention_mask"][b, 0] = 1
+            pos = 1
+            word_start_tok = []          # word idx → its first token pos
+            word_token_span = []
+            for w in page["words"]:
+                word_start_tok.append(pos)
+                toks = w["tokens"]
+                span = []
+                quad = np.asarray(w["boundingBox"], np.float32).reshape(4, 2)
+                x1, y1 = quad[:, 0].min(), quad[:, 1].min()
+                x2, y2 = quad[:, 0].max(), quad[:, 1].max()
+                for t in toks:
+                    if pos >= S:
+                        break
+                    batch["input_ids"][b, pos] = t
+                    batch["attention_mask"][b, pos] = 1
+                    batch["bbox_4p_normalized"][b, pos] = \
+                        (quad / np.asarray([W, H])).reshape(-1)
+                    batch["bbox"][b, pos] = [x1 / W * 1000, y1 / H * 1000,
+                                             x2 / W * 1000, y2 / H * 1000]
+                    batch["bio_labels"][b, pos] = 0          # default O
+                    span.append(pos)
+                    pos += 1
+                word_token_span.append(span)
+
+            # block ranks per token (1-based block order; inner 1=first)
+            starts = sorted(set(first_tok))
+            blk_of_pos = np.zeros(S, np.int32)
+            for bi, st in enumerate(first_tok):
+                end = first_tok[bi + 1] if bi + 1 < len(first_tok) else pos
+                lo, hi = min(st, S), min(end, S)
+                batch["line_rank_id"][b, lo:hi] = bi + 1
+                if lo < S:
+                    batch["line_rank_inner_id"][b, lo] = 1
+                    batch["line_rank_inner_id"][b, lo + 1: hi] = 2
+                blk_of_pos[lo:hi] = bi
+
+            # BIO labels from entity word sequences
+            for ci, cname in enumerate(class_names):
+                for seq in page["parse"]["class"].get(cname, []):
+                    for wi, widx in enumerate(seq):
+                        if widx >= len(word_token_span):
+                            continue
+                        for ti, p_ in enumerate(word_token_span[widx]):
+                            is_b = (wi == 0 and ti == 0)
+                            batch["bio_labels"][b, p_] = \
+                                (1 + 2 * ci) if is_b else (2 + 2 * ci)
+
+            # block-level linking labels (relations carry each block's
+            # FIRST word index — preprocess.py form_id_to_word_idx)
+            nblk = len(first_tok)
+            batch["el_label_blk_mask"][b, :nblk, :nblk] = 1.0
+            for head_w, tail_w in page["parse"].get("relations", []):
+                if (head_w < len(word_start_tok)
+                        and tail_w < len(word_start_tok)):
+                    hb = int(blk_of_pos[min(word_start_tok[head_w], S - 1)])
+                    tb = int(blk_of_pos[min(word_start_tok[tail_w], S - 1)])
+                    batch["el_labels_blk"][b, hb, tb] = 1.0
+        yield batch

@@ -1,0 +1,94 @@
+"""GeoLayoutLM VIE training path: preprocessed-FUNSD batches (reference
+preprocess/funsd_el/preprocess.py output schema → vie_dataset.py
+_getitem_geo semantics) + fit()."""
+
+import json
+
+import jax
+import numpy as np
+
+from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+from advancedliteratemachinery_tpu.engine import batches as B
+from advancedliteratemachinery_tpu.engine.fit import FitConfig, fit
+from advancedliteratemachinery_tpu.engine.recipes import geolayoutlm_recipe
+from advancedliteratemachinery_tpu.models.bros import BrosConfig
+from advancedliteratemachinery_tpu.models.convnext import ConvNeXtConfig
+from advancedliteratemachinery_tpu.models.geolayoutlm import (
+    GeoLayoutLM,
+    GeoLayoutLMConfig,
+)
+from advancedliteratemachinery_tpu.parallel.mesh import create_mesh
+
+TINY = GeoLayoutLMConfig(
+    bros=BrosConfig(vocab_size=100, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=64,
+                    max_position_embeddings=32,
+                    coordinate_size=6, shape_size=4),   # 4*6+2*4 == 32
+    convnext=ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64)),
+    n_classes=7, vis_channels=16, max_rel_enc=8, image_size=64)
+
+
+def _page(tmp_path):
+    """Two blocks: QUESTION ('to:') linking to ANSWER ('john doe')."""
+    page = {
+        "blocks": {"first_token_idx_list": [1, 3],
+                   "boxes": [[10, 10, 40, 20], [50, 10, 90, 20]]},
+        "words": [
+            {"text": "to:", "tokens": [5, 6],
+             "boundingBox": [[10, 10], [40, 10], [40, 20], [10, 20]]},
+            {"text": "john", "tokens": [7],
+             "boundingBox": [[50, 10], [70, 10], [70, 20], [50, 20]]},
+            {"text": "doe", "tokens": [8, 9],
+             "boundingBox": [[72, 10], [90, 10], [90, 20], [72, 20]]},
+        ],
+        "parse": {"class": {"QUESTION": [[0]], "ANSWER": [[1, 2]],
+                            "HEADER": []},
+                  "relations": [[0, 1]]},
+        "meta": {"width": 100, "height": 100},
+    }
+    p = tmp_path / "page0.json"
+    p.write_text(json.dumps(page))
+    return str(tmp_path)
+
+
+class TestVieBatches:
+    def test_labels_and_links(self, tmp_path):
+        ds = B.VIEPreprocessedDataset(_page(tmp_path))
+        b = next(B.vie_batches(ds, batch_size=1, max_seq=16, max_blocks=4,
+                               image_size=64, cls_id=99))
+        ids = b["input_ids"][0]
+        assert ids[0] == 99                        # CLS (tiny test vocab)
+        np.testing.assert_array_equal(ids[1:6], [5, 6, 7, 8, 9])
+        # CLS is -100; QUESTION 'to:' = B-Q then I-Q (class idx 1 → 3, 4)
+        assert b["bio_labels"][0, 0] == -100
+        np.testing.assert_array_equal(b["bio_labels"][0, 1:3], [3, 4])
+        # ANSWER 'john doe' = B-A I-A I-A (class idx 2 → 5, 6)
+        np.testing.assert_array_equal(b["bio_labels"][0, 3:6], [5, 6, 6])
+        assert (b["bio_labels"][0, 6:] == -100).all()      # pad
+        # blocks + ranks
+        np.testing.assert_array_equal(b["first_token_idxes"][0, :2], [1, 3])
+        np.testing.assert_array_equal(b["line_rank_id"][0, 1:6],
+                                      [1, 1, 2, 2, 2])
+        np.testing.assert_array_equal(b["line_rank_inner_id"][0, 1:6],
+                                      [1, 2, 1, 2, 2])
+        # linking: block 0 → block 1
+        assert b["el_labels_blk"][0, 0, 1] == 1.0
+        assert b["el_labels_blk"][0].sum() == 1.0
+        assert b["el_label_blk_mask"][0, :2, :2].sum() == 4
+
+    def test_fit_runs(self, tmp_path):
+        ds = B.VIEPreprocessedDataset(_page(tmp_path))
+        # cls_id must stay inside the tiny 100-token test vocab — an
+        # out-of-range id makes the embedding gather produce NaN
+        it = B.vie_batches(ds, batch_size=2, max_seq=16, max_blocks=4,
+                           image_size=TINY.image_size, cls_id=99)
+        model = GeoLayoutLM(TINY, policy=FP32_POLICY)
+        sample = jax.tree.map(lambda a: a, next(it))
+        params = model.init(jax.random.PRNGKey(0), sample)["params"]
+        loss_fn, tx = geolayoutlm_recipe(model)
+        res = fit(loss_fn, tx, params, it,
+                  FitConfig(total_steps=2, log_interval=1),
+                  mesh=create_mesh(data=1, devices=jax.devices()[:1]),
+                  log_fn=lambda m: None)
+        assert res.steps_run == 2
+        assert np.isfinite(res.last_metrics["loss"])
