@@ -747,6 +747,65 @@ def cmd_train(args) -> int:
         tx = make_optimizer(lr=args.lr, total_steps=args.steps,
                             grad_clip=1.0, warmup_steps=args.warmup_steps)
         eval_fn = None
+    elif args.model == "vlpt":
+        from advancedliteratemachinery_tpu.data.arrow_dataset import (
+            MLMSpec, SynthTextArrowDataset)
+        from advancedliteratemachinery_tpu.engine.recipes import vlpt_recipe
+        from advancedliteratemachinery_tpu.models.vlpt import (
+            VLPT, VLPTConfig)
+
+        cfg = VLPTConfig()
+        model = VLPT(cfg)
+        try:
+            from advancedliteratemachinery_tpu.codecs.subword import (
+                WordpieceCodec)
+
+            wp = WordpieceCodec.default()
+            spec = MLMSpec(
+                encode=wp.encode_text,
+                is_subword=lambda i: wp.inv.get(i, "").startswith("##"))
+        except FileNotFoundError:
+            print("[train] BERT vocab assets missing "
+                  "(scripts/fetch_vocabs.py) — falling back to a "
+                  "byte-level tokenizer for MLM pretraining")
+            spec = MLMSpec(
+                encode=lambda t: [200 + b for b in t.encode("utf-8")[:28]])
+        ds = SynthTextArrowDataset(args.train_data[0], spec,
+                                   image_size=cfg.image_size,
+                                   max_text_len=cfg.max_text_len)
+        batch_iter = B.vlpt_batches(ds, args.batch_size, seed=args.seed)
+        sample = jax.tree.map(jnp.asarray, next(batch_iter))
+        variables = model.init(jax.random.PRNGKey(args.seed), sample,
+                               train=True)
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        loss_fn, _ = vlpt_recipe(model)
+        tx = make_optimizer(lr=args.lr, total_steps=args.steps,
+                            grad_clip=1.0, warmup_steps=args.warmup_steps)
+        eval_fn = None
+    elif args.model == "webrpg":
+        from advancedliteratemachinery_tpu.engine.recipes import webrpg_recipe
+        from advancedliteratemachinery_tpu.models.webrpg import (
+            WebRPGConfig, WebRPGModel)
+
+        cfg = WebRPGConfig()
+        model = WebRPGModel(cfg)
+        ds = B.WebRPGCacheDataset(args.train_data[0])
+        batch_iter = B.webrpg_batches(ds, args.batch_size, seed=args.seed)
+        sample = jax.tree.map(jnp.asarray, next(batch_iter))
+        params = model.init(jax.random.PRNGKey(args.seed), sample,
+                            jax.random.PRNGKey(1))["params"]
+        if args.init_torch_ckpt:   # pretrained frozen VAE (trainer_ar.py)
+            from advancedliteratemachinery_tpu.engine.checkpoint import (
+                import_webrpg_vae, load_torch_state_dict)
+
+            vae_vars = import_webrpg_vae(
+                load_torch_state_dict(args.init_torch_ckpt),
+                {"params": jax.tree.map(np.asarray, params["vae"])})
+            params = dict(params)
+            params["vae"] = vae_vars["params"]
+        loss_fn, tx = webrpg_recipe(model, cfg)
+        eval_fn = None
     elif args.model == "db":
         from advancedliteratemachinery_tpu.data.coco_spotting import (
             CocoSpottingDataset,
@@ -856,7 +915,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("train", help="launch/resume a training run")
     p.add_argument("model", choices=["mgp_str", "lister", "levocr",
                                      "omniparser", "db", "lore",
-                                     "geolayoutlm"])
+                                     "geolayoutlm", "vlpt", "webrpg"])
     p.add_argument("--train-data", nargs="+", required=True,
                    help="LMDB source dirs (mixed per --ratios); for "
                         "omniparser: a COCO spotting annotation json")

@@ -591,3 +591,76 @@ def vie_batches(
                     tb = int(blk_of_pos[min(word_start_tok[tail_w], S - 1)])
                     batch["el_labels_blk"][b, hb, tb] = 1.0
         yield batch
+
+
+def vlpt_batches(dataset, batch_size: int, seed: int = 0
+                 ) -> Iterator[Dict[str, np.ndarray]]:
+    """VLPT-STD pretraining batches straight off the pyarrow SynthText
+    shards (data/arrow_dataset.py already emits the models/vlpt.py batch
+    dict: image + MLM-masked ids/labels/masks — reference dataset.py +
+    write_synthtext_pyarrow.py)."""
+    rng = np.random.default_rng(seed)
+    while True:
+        idx = rng.integers(0, len(dataset), batch_size)
+        yield dataset.batch(idx.tolist(), rng=rng)
+
+
+class WebRPGCacheDataset:
+    """Per-page .npz records of cached embeddings + render parameters (the
+    shape of reference get_cache_file.py outputs: MarkupLM global/element
+    text embeddings, xpath embeddings, chrlen, element mask, parameter
+    ids)."""
+
+    KEYS = ("param_ids", "global_text", "element_text", "chrlen", "xpath",
+            "element_mask")
+
+    def __init__(self, path: str):
+        import glob
+        import os
+
+        if os.path.isdir(path):
+            self.files = sorted(glob.glob(os.path.join(path, "*.npz")))
+        else:
+            self.files = [path]
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        with np.load(self.files[idx]) as z:
+            return {k: z[k] for k in self.KEYS}
+
+
+def webrpg_batches(dataset: WebRPGCacheDataset, batch_size: int,
+                   max_elements: int = 64, seed: int = 0
+                   ) -> Iterator[Dict[str, np.ndarray]]:
+    """WebRPG AR-training batches (reference trainer_ar.py
+    training_dataset): stacked cached-embedding records padded to a fixed
+    element count."""
+    rng = np.random.default_rng(seed)
+    probe = dataset[0]
+    T = probe["param_ids"].shape[-1]
+    Dg = probe["global_text"].shape[-1]
+    De = probe["element_text"].shape[-1]
+    Dx = probe["xpath"].shape[-1]
+    N = max_elements
+    while True:
+        batch = {
+            "param_ids": np.zeros((batch_size, N, T), np.int32),
+            "global_text": np.zeros((batch_size, 1, Dg), np.float32),
+            "element_text": np.zeros((batch_size, N, De), np.float32),
+            "chrlen": np.zeros((batch_size, N), np.int32),
+            "xpath": np.zeros((batch_size, N, Dx), np.float32),
+            "element_mask": np.zeros((batch_size, N), np.float32),
+        }
+        for b in range(batch_size):
+            r = dataset[int(rng.integers(0, len(dataset)))]
+            n = min(len(r["param_ids"]), N)
+            batch["param_ids"][b, :n] = r["param_ids"][:n]
+            batch["global_text"][b] = r["global_text"][:1]
+            batch["element_text"][b, :n] = r["element_text"][:n]
+            batch["chrlen"][b, :n] = r["chrlen"][:n]
+            batch["xpath"][b, :n] = r["xpath"][:n]
+            batch["element_mask"][b, :n] = \
+                np.asarray(r["element_mask"][:n], np.float32)
+        yield batch
