@@ -806,6 +806,64 @@ def cmd_train(args) -> int:
             params["vae"] = vae_vars["params"]
         loss_fn, tx = webrpg_recipe(model, cfg)
         eval_fn = None
+    elif args.model == "lvtr":
+        from advancedliteratemachinery_tpu.engine.recipes import lvtr_recipe
+        from advancedliteratemachinery_tpu.models.lvtr import (
+            ExCTC, LVTRConfig, LVTRUnet)
+
+        cfg = LVTRConfig()
+        model = LVTRUnet(cfg)
+        recognizer = ExCTC()
+        ds = B.LVTRManifestDataset(args.train_data[0])
+        batch_iter = B.lvtr_batches(ds, args.batch_size,
+                                    max_text_len=cfg.max_text_len,
+                                    seed=args.seed)
+        sample = next(batch_iter)
+        conds = {k: jnp.asarray(sample[k]) for k in
+                 ("images_style", "images_removal", "images_render",
+                  "line_poly_mask", "word_poly_mask", "text_ids")}
+        params = model.init(jax.random.PRNGKey(args.seed),
+                            jnp.asarray(sample["x0"]),
+                            jnp.zeros((args.batch_size,)), conds)["params"]
+        rec_params = recognizer.init(
+            jax.random.PRNGKey(args.seed + 1),
+            jnp.asarray(sample["x0"]))["params"]
+        if args.init_torch_ckpt:   # frozen recognizer.pth (train_lvtr.py)
+            print("[train] note: --init-torch-ckpt for lvtr expects the "
+                  "released decoder; use import-ckpt lvtr for the Unet")
+        loss_fn, _ = lvtr_recipe(model, recognizer,
+                                 jax.tree.map(jnp.asarray, rec_params), cfg)
+        tx = make_optimizer(lr=args.lr, total_steps=args.steps,
+                            grad_clip=1.0, weight_decay=0.01)
+        eval_fn = None
+    elif args.model == "trcg":
+        from advancedliteratemachinery_tpu.engine.recipes import trcg_recipe
+        from advancedliteratemachinery_tpu.models.trcg import TRCG, TRCGConfig
+
+        cfg = TRCGConfig(lora_rank=args.lora_rank)
+        model = TRCG(cfg)
+        hw = cfg.clip.image_size if cfg.use_clip_tower else \
+            cfg.vision.img_size[0]
+        n_img = ((hw // (cfg.clip.patch_size if cfg.use_clip_tower
+                         else cfg.vision.patch_size)) ** 2)
+        ds = B.TRCGManifestDataset(args.train_data[0])
+        batch_iter = B.trcg_batches(ds, args.batch_size, image_hw=(hw, hw),
+                                    max_len=args.batch_max_length,
+                                    seed=args.seed)
+        sample = next(batch_iter)
+        params = model.init(jax.random.PRNGKey(args.seed),
+                            jnp.asarray(sample["images"]),
+                            jnp.asarray(sample["input_ids"]))["params"]
+        if args.init_torch_ckpt:
+            from advancedliteratemachinery_tpu.engine.checkpoint import (
+                TORCH_IMPORTERS, load_torch_state_dict)
+
+            params = TORCH_IMPORTERS["trcg"](
+                load_torch_state_dict(args.init_torch_ckpt),
+                jax.tree.map(np.asarray, params),
+                merge_lora=False, n_heads=cfg.heads)
+        loss_fn, tx = trcg_recipe(model, n_img)   # LoRA optimizer freezes base
+        eval_fn = None
     elif args.model == "db":
         from advancedliteratemachinery_tpu.data.coco_spotting import (
             CocoSpottingDataset,
@@ -915,7 +973,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("train", help="launch/resume a training run")
     p.add_argument("model", choices=["mgp_str", "lister", "levocr",
                                      "omniparser", "db", "lore",
-                                     "geolayoutlm", "vlpt", "webrpg"])
+                                     "geolayoutlm", "vlpt", "webrpg",
+                                     "lvtr", "trcg"])
     p.add_argument("--train-data", nargs="+", required=True,
                    help="LMDB source dirs (mixed per --ratios); for "
                         "omniparser: a COCO spotting annotation json")
@@ -946,6 +1005,8 @@ def main(argv=None) -> int:
                    help="initialize from a reference torch checkpoint")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace of a few train steps")
+    p.add_argument("--lora-rank", type=int, default=128,
+                   help="LoRA rank for trcg finetuning (reference lora_r)")
 
     p = sub.add_parser("eval",
                        help="STR benchmark over LMDB eval sets "

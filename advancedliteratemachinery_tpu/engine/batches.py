@@ -664,3 +664,135 @@ def webrpg_batches(dataset: WebRPGCacheDataset, batch_size: int,
             batch["element_mask"][b, :n] = \
                 np.asarray(r["element_mask"][:n], np.float32)
         yield batch
+
+
+class LVTRManifestDataset:
+    """Manifest-driven LVTR renderer data (the reference's
+    LVTR_trainlist.txt + data dir, dataset/lvtr_dataset.py): a jsonl of
+    {"image", "removal", "render", "style"?, "line_mask", "word_mask",
+    "text"} with paths relative to the manifest."""
+
+    def __init__(self, manifest: str):
+        import json
+        import os
+
+        self.root = os.path.dirname(os.path.abspath(manifest))
+        self.rows = []
+        with open(manifest, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    self.rows.append(json.loads(line))
+
+    def __len__(self):
+        return len(self.rows)
+
+    def load(self, row, key, hw, channels=3):
+        import os
+
+        from PIL import Image
+
+        path = os.path.join(self.root, row[key])
+        img = Image.open(path)
+        img = img.convert("RGB" if channels == 3 else "L")
+        img = img.resize((hw[1], hw[0]))
+        arr = np.asarray(img, np.float32) / 255.0
+        return arr if channels == 3 else arr[..., None]
+
+
+def lvtr_batches(
+    dataset: LVTRManifestDataset,
+    batch_size: int,
+    image_hw: Tuple[int, int] = (64, 512),
+    charset: str = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                   "0123456789",
+    max_text_len: int = 32,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """LVTR diffusion batches: target crop x0 + the five condition maps
+    + char-id text (reference dataset_cfgs: 64x512 crops, chardict)."""
+    rng = np.random.default_rng(seed)
+    H, W = image_hw
+    stoi = {c: i + 1 for i, c in enumerate(charset)}     # 0 = pad
+    while True:
+        batch = {
+            "x0": np.zeros((batch_size, H, W, 3), np.float32),
+            "images_style": np.zeros((batch_size, H, W, 3), np.float32),
+            "images_removal": np.zeros((batch_size, H, W, 3), np.float32),
+            "images_render": np.zeros((batch_size, H, W, 3), np.float32),
+            "line_poly_mask": np.zeros((batch_size, H, W, 1), np.float32),
+            "word_poly_mask": np.zeros((batch_size, H, W, 1), np.float32),
+            "text_ids": np.zeros((batch_size, max_text_len), np.int32),
+        }
+        for b in range(batch_size):
+            row = dataset.rows[int(rng.integers(0, len(dataset)))]
+            batch["x0"][b] = dataset.load(row, "image", image_hw)
+            batch["images_removal"][b] = dataset.load(row, "removal",
+                                                      image_hw)
+            batch["images_render"][b] = dataset.load(row, "render",
+                                                     image_hw)
+            batch["images_style"][b] = (
+                dataset.load(row, "style", image_hw) if "style" in row
+                else batch["x0"][b])
+            batch["line_poly_mask"][b] = dataset.load(row, "line_mask",
+                                                      image_hw, channels=1)
+            batch["word_poly_mask"][b] = dataset.load(row, "word_mask",
+                                                      image_hw, channels=1)
+            ids = [stoi.get(c, 0) for c in row.get("text", "")]
+            ids = ids[:max_text_len]
+            batch["text_ids"][b, : len(ids)] = ids
+        yield batch
+
+
+class TRCGManifestDataset:
+    """Pre-tokenized multimodal finetune records (reference TRCG data
+    jsons after its tokenizer pass): jsonl of {"image": path,
+    "input_ids": [ints]} relative to the manifest."""
+
+    def __init__(self, manifest: str):
+        import json
+        import os
+
+        self.root = os.path.dirname(os.path.abspath(manifest))
+        self.rows = []
+        with open(manifest, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    self.rows.append(json.loads(line))
+
+    def __len__(self):
+        return len(self.rows)
+
+
+def trcg_batches(
+    dataset: TRCGManifestDataset,
+    batch_size: int,
+    image_hw: Tuple[int, int],
+    max_len: int = 256,
+    pad_id: int = 0,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """TRCG LoRA-finetune batches: CLIP-space images + pre-tokenized
+    conversation ids (reference llava/train/train.py data collator)."""
+    import os
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    H, W = image_hw
+    while True:
+        batch = {
+            "images": np.zeros((batch_size, H, W, 3), np.float32),
+            "input_ids": np.full((batch_size, max_len), pad_id, np.int32),
+        }
+        for b in range(batch_size):
+            row = dataset.rows[int(rng.integers(0, len(dataset)))]
+            path = os.path.join(dataset.root, row["image"])
+            if os.path.exists(path):
+                img = Image.open(path).convert("RGB").resize((W, H))
+                batch["images"][b] = (np.asarray(img, np.float32)
+                                      / 127.5 - 1.0)
+            ids = row["input_ids"][:max_len]
+            batch["input_ids"][b, : len(ids)] = ids
+        yield batch

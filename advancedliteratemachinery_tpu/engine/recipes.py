@@ -239,3 +239,31 @@ RECIPES: Dict[str, Callable] = {
     "webrpg": webrpg_recipe,
     "trcg": trcg_recipe,
 }
+
+
+def lvtr_recipe(model, recognizer, rec_params, cfg) -> Tuple[Callable, Any]:
+    """LVTR diffusion training (reference train_lvtr.py:297-344):
+    eps-MSE + masked background MSE + OCR-aware feature loss through the
+    FROZEN ExCTC recognizer (rec_params closed over, never optimized —
+    the reference loads recognizer.pth and freezes it). batch: x0 +
+    the condition maps + text_ids."""
+    from advancedliteratemachinery_tpu.models.lvtr import DDPM
+
+    ddpm = DDPM(cfg)
+    cond_keys = ("images_style", "images_removal", "images_render",
+                 "line_poly_mask", "word_poly_mask", "text_ids")
+
+    def loss_fn(params, batch, rng):
+        conditions = {k: batch[k] for k in cond_keys}
+        m = ddpm.training_losses(
+            lambda p, x, t, c: model.apply({"params": p}, x, t, c),
+            lambda rp, im: recognizer.apply(
+                {"params": rp}, im, method=recognizer.get_image_features),
+            params, rec_params, batch["x0"], conditions, rng)
+        return m["loss"], m
+
+    return loss_fn, make_optimizer(lr=1e-4, total_steps=5_000_000,
+                                   grad_clip=1.0, weight_decay=0.01)
+
+
+RECIPES["lvtr"] = lvtr_recipe
