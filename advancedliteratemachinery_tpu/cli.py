@@ -864,6 +864,47 @@ def cmd_train(args) -> int:
                 merge_lora=False, n_heads=cfg.heads)
         loss_fn, tx = trcg_recipe(model, n_img)   # LoRA optimizer freezes base
         eval_fn = None
+    elif args.model == "vgt":
+        from advancedliteratemachinery_tpu.engine.recipes import vgt_recipe
+        from advancedliteratemachinery_tpu.models.rcnn import (
+            CascadeConfig, VGTCascadeDetector)
+        from advancedliteratemachinery_tpu.models.vgt import VGTConfig
+
+        bcfg = VGTConfig()
+        detector = VGTCascadeDetector(
+            backbone_config=bcfg,
+            cascade_config=CascadeConfig(num_classes=args.num_classes))
+        try:
+            from advancedliteratemachinery_tpu.codecs.subword import (
+                WordpieceCodec)
+
+            tok = WordpieceCodec.default().encode_text
+            tokenize_fn = lambda texts: [tok(t) for t in texts]  # noqa: E731
+        except FileNotFoundError:
+            tokenize_fn = lambda texts: [  # noqa: E731
+                [200 + b for b in t.encode("utf-8")[:8]] for t in texts]
+        hw = bcfg.img_size
+        batch_iter = B.vgt_batches(args.train_data[0], args.img_root or ".",
+                                   tokenize_fn, image_hw=hw,
+                                   seed=args.seed)
+        sample = next(batch_iter)
+        variables = detector.init(
+            jax.random.PRNGKey(args.seed), jnp.asarray(sample["images"]),
+            jnp.asarray(sample["grid_ids"]))
+        if args.init_torch_ckpt:
+            from advancedliteratemachinery_tpu.engine.checkpoint import (
+                TORCH_IMPORTERS, load_torch_state_dict)
+
+            variables = TORCH_IMPORTERS["vgt_cascade"](
+                load_torch_state_dict(args.init_torch_ckpt),
+                jax.tree.map(np.asarray, dict(variables)))
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        loss_fn, _ = vgt_recipe(detector)
+        tx = make_optimizer(lr=args.lr, total_steps=args.steps,
+                            grad_clip=1.0, weight_decay=0.05,
+                            warmup_steps=args.warmup_steps)
+        eval_fn = None
     elif args.model == "db":
         from advancedliteratemachinery_tpu.data.coco_spotting import (
             CocoSpottingDataset,
@@ -974,7 +1015,7 @@ def main(argv=None) -> int:
     p.add_argument("model", choices=["mgp_str", "lister", "levocr",
                                      "omniparser", "db", "lore",
                                      "geolayoutlm", "vlpt", "webrpg",
-                                     "lvtr", "trcg"])
+                                     "lvtr", "trcg", "vgt"])
     p.add_argument("--train-data", nargs="+", required=True,
                    help="LMDB source dirs (mixed per --ratios); for "
                         "omniparser: a COCO spotting annotation json")
@@ -1007,6 +1048,8 @@ def main(argv=None) -> int:
                    help="capture a jax.profiler trace of a few train steps")
     p.add_argument("--lora-rank", type=int, default=128,
                    help="LoRA rank for trcg finetuning (reference lora_r)")
+    p.add_argument("--num-classes", type=int, default=5,
+                   help="detection categories (vgt; PubLayNet=5)")
 
     p = sub.add_parser("eval",
                        help="STR benchmark over LMDB eval sets "

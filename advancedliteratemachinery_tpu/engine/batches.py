@@ -796,3 +796,60 @@ def trcg_batches(
             ids = row["input_ids"][:max_len]
             batch["input_ids"][b, : len(ids)] = ids
         yield batch
+
+
+def vgt_batches(
+    anno_file: str,
+    image_root: str,
+    tokenize_fn,
+    image_hw: Tuple[int, int] = (512, 512),
+    max_boxes: int = 64,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """VGT layout-detection batches (B=1 pages): COCO layout annotations
+    (bbox xywh + category_id, 1-based) with optional per-image `words`
+    lists (pdfplumber keys — reference create_grid_input.py) rasterized
+    into the chargrid id map. Boxes scale to the train size."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from advancedliteratemachinery_tpu.models.vgt import grid_ids_from_words
+
+    with open(anno_file, encoding="utf-8") as f:
+        coco = json.load(f)
+    images = {im["id"]: im for im in coco["images"]}
+    anns: Dict[int, list] = {}
+    for a in coco["annotations"]:
+        anns.setdefault(a["image_id"], []).append(a)
+    ids = sorted(images)
+    rng = np.random.default_rng(seed)
+    H, W = image_hw
+    while True:
+        info = images[ids[int(rng.integers(0, len(ids)))]]
+        h0, w0 = info["height"], info["width"]
+        sx, sy = W / w0, H / h0
+        batch = {
+            "images": np.zeros((1, H, W, 3), np.float32),
+            "gt_boxes": np.zeros((max_boxes, 4), np.float32),
+            "gt_classes": np.zeros((max_boxes,), np.int32),
+            "gt_valid": np.zeros((max_boxes,), np.float32),
+        }
+        path = os.path.join(image_root, info["file_name"])
+        if os.path.exists(path):
+            img = Image.open(path).convert("RGB").resize((W, H))
+            batch["images"][0] = np.asarray(img, np.float32)
+        words = [
+            {"text": w["text"], "x0": w["x0"] * sx, "top": w["top"] * sy,
+             "x1": w["x1"] * sx, "bottom": w["bottom"] * sy}
+            for w in info.get("words", [])]
+        batch["grid_ids"] = grid_ids_from_words(
+            words, tokenize_fn, H, W)[None].astype(np.int32)
+        for k, a in enumerate(anns.get(info["id"], [])[:max_boxes]):
+            x, y, bw, bh = a["bbox"]
+            batch["gt_boxes"][k] = [x * sx, y * sy, (x + bw) * sx,
+                                    (y + bh) * sy]
+            batch["gt_classes"][k] = max(int(a["category_id"]) - 1, 0)
+            batch["gt_valid"][k] = 1.0
+        yield batch

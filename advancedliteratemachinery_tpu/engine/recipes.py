@@ -267,3 +267,29 @@ def lvtr_recipe(model, recognizer, rec_params, cfg) -> Tuple[Callable, Any]:
 
 
 RECIPES["lvtr"] = lvtr_recipe
+
+
+def vgt_recipe(detector) -> Tuple[Callable, Any]:
+    """VGT cascade detection training (reference VGTTrainer = detectron2
+    DefaultTrainer: AdamW + warmup; RPN + CascadeROIHeads losses —
+    models/rcnn.py cascade_train_losses). batch (B=1 pages, like the
+    detectron2 loop's per-image processing): images [1,H,W,3],
+    grid_ids [1,h,w], gt_boxes [G,4] xyxy, gt_classes [G], gt_valid [G]."""
+    from advancedliteratemachinery_tpu.models.rcnn import VGTCascadeDetector
+
+    def loss_fn(params, batch_stats, batch, rng):
+        # mutable: the VGT grid-FPN carries one BatchNorm
+        m, nv = detector.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"], batch["grid_ids"], batch["gt_boxes"],
+            batch["gt_classes"], batch["gt_valid"], rng,
+            method=VGTCascadeDetector.train_losses,
+            mutable=["batch_stats"])
+        return m["loss"], (m, nv["batch_stats"])
+
+    return loss_fn, make_optimizer(lr=2e-4, total_steps=200_000,
+                                   grad_clip=1.0, weight_decay=0.05,
+                                   warmup_steps=1_000)
+
+
+RECIPES["vgt"] = vgt_recipe

@@ -311,12 +311,195 @@ class VGTCascadeDetector(nn.Module):
     cascade_config: CascadeConfig = CascadeConfig()
     policy: Policy = DEFAULT_POLICY
 
-    @nn.compact
-    def __call__(self, images, grid_ids, train: bool = False):
+    def setup(self):
         from advancedliteratemachinery_tpu.models.vgt import VGTBackbone
 
-        pyramid = VGTBackbone(self.backbone_config, policy=self.policy,
-                              name="backbone")(images, grid_ids, train=train)
-        head = CascadeRCNN(self.cascade_config, policy=self.policy,
-                           name="roi")
-        return head(pyramid, (images.shape[1], images.shape[2]))
+        self.backbone = VGTBackbone(self.backbone_config,
+                                    policy=self.policy)
+        self.roi = CascadeRCNN(self.cascade_config, policy=self.policy)
+
+    def __call__(self, images, grid_ids, train: bool = False):
+        pyramid = self.backbone(images, grid_ids, train=train)
+        return self.roi(pyramid, (images.shape[1], images.shape[2]))
+
+    def train_losses(self, images, grid_ids, gt_boxes, gt_classes,
+                     gt_valid, rng):
+        """Detection training for one page (B=1, detectron2 semantics —
+        see cascade_train_losses)."""
+        pyramid = self.backbone(images, grid_ids, train=True)
+        return cascade_train_losses(
+            self.roi, pyramid, (images.shape[1], images.shape[2]),
+            gt_boxes, gt_classes, gt_valid, rng)
+
+
+# ---------------- training (detectron2 RPN + CascadeROIHeads) -------------
+
+
+def encode_deltas(src: jnp.ndarray, tgt: jnp.ndarray,
+                  weights: Tuple[float, float, float, float]) -> jnp.ndarray:
+    """Inverse of apply_deltas (Box2BoxTransform.get_deltas)."""
+    wx, wy, ww, wh = weights
+    sw = jnp.maximum(src[:, 2] - src[:, 0], 1e-4)
+    sh = jnp.maximum(src[:, 3] - src[:, 1], 1e-4)
+    scx = src[:, 0] + 0.5 * sw
+    scy = src[:, 1] + 0.5 * sh
+    tw = jnp.maximum(tgt[:, 2] - tgt[:, 0], 1e-4)
+    th = jnp.maximum(tgt[:, 3] - tgt[:, 1], 1e-4)
+    tcx = tgt[:, 0] + 0.5 * tw
+    tcy = tgt[:, 1] + 0.5 * th
+    return jnp.stack([wx * (tcx - scx) / sw, wy * (tcy - scy) / sh,
+                      ww * jnp.log(tw / sw), wh * jnp.log(th / sh)], axis=1)
+
+
+def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[N,4] x [M,4] xyxy → [N,M]."""
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(
+        a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(
+        b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def match_to_gt(boxes: jnp.ndarray, gt_boxes: jnp.ndarray,
+                gt_valid: jnp.ndarray, pos_thr: float, neg_thr: float,
+                allow_low_quality: bool = False
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """detectron2 Matcher: per-box best GT; label 1 if max IoU ≥ pos_thr,
+    0 if < neg_thr, -1 (ignore) between. allow_low_quality additionally
+    marks, for every GT, the anchors achieving its best IoU as positive
+    (RPN's LOW_QUALITY_MATCHES). → (matched_gt_idx [N], labels [N])."""
+    iou = pairwise_iou(boxes, gt_boxes)
+    iou = jnp.where(gt_valid[None, :] > 0, iou, -1.0)
+    best = jnp.max(iou, axis=1)
+    idx = jnp.argmax(iou, axis=1)
+    labels = jnp.where(best >= pos_thr, 1,
+                       jnp.where(best < neg_thr, 0, -1))
+    if allow_low_quality:
+        gt_best = jnp.max(iou, axis=0)                     # [G]
+        is_best = (iou >= gt_best[None, :] - 1e-5) & (iou > 0)
+        labels = jnp.where(jnp.any(is_best & (gt_valid[None] > 0), axis=1),
+                           1, labels)
+    return idx, labels
+
+
+def subsample_labels(labels: jnp.ndarray, num: int, pos_frac: float,
+                     rng) -> jnp.ndarray:
+    """detectron2 subsample_labels as a fixed-shape weight mask: up to
+    num*pos_frac random positives and the remainder random negatives get
+    weight 1. → [N] float weights."""
+    r1, r2 = jax.random.split(rng)
+    n_pos_target = int(num * pos_frac)
+    pos = labels == 1
+    neg = labels == 0
+    pos_score = jnp.where(pos, jax.random.uniform(r1, labels.shape), -1.0)
+    neg_score = jnp.where(neg, jax.random.uniform(r2, labels.shape), -1.0)
+    k_pos = jnp.minimum(jnp.sum(pos), n_pos_target)
+    k_neg = jnp.minimum(jnp.sum(neg), num - k_pos)
+    # rank-based selection: the k highest random scores
+    pos_rank = jnp.argsort(jnp.argsort(-pos_score))
+    neg_rank = jnp.argsort(jnp.argsort(-neg_score))
+    take = ((pos & (pos_rank < k_pos)) | (neg & (neg_rank < k_neg)))
+    return take.astype(jnp.float32)
+
+
+def smooth_l1(x: jnp.ndarray, beta: float = 0.0) -> jnp.ndarray:
+    if beta <= 0:
+        return jnp.abs(x)
+    return jnp.where(jnp.abs(x) < beta, 0.5 * x * x / beta,
+                     jnp.abs(x) - 0.5 * beta)
+
+
+def rpn_train_losses(cfg: CascadeConfig, outs, levels, gt_boxes, gt_valid,
+                     rng, batch_per_image: int = 256,
+                     pos_frac: float = 0.5) -> Dict[str, jnp.ndarray]:
+    """detectron2 RPN losses for one image: anchors over all levels,
+    0.3/0.7 matching with low-quality matches, 256-sample (1:1), BCE
+    objectness + smooth-L1 on deltas (sum over samples / num sampled)."""
+    anchors = jnp.concatenate(
+        [jnp.asarray(grid_anchors((f.shape[1], f.shape[2]), stride, size,
+                                  cfg.aspects))
+         for f, stride, size in zip(levels, cfg.strides, cfg.anchor_sizes)],
+        axis=0)
+    logits = jnp.concatenate([o[0].reshape(-1) for o in outs])
+    deltas = jnp.concatenate([o[1].reshape(-1, 4) for o in outs])
+    idx, labels = match_to_gt(anchors, gt_boxes, gt_valid,
+                              pos_thr=0.7, neg_thr=0.3,
+                              allow_low_quality=True)
+    w = subsample_labels(labels, batch_per_image, pos_frac, rng)
+    pos_w = w * (labels == 1)
+    tgt = encode_deltas(anchors, gt_boxes[idx], (1.0, 1.0, 1.0, 1.0))
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    obj = jnp.where(labels == 1, 1.0, 0.0)
+    bce = (jnp.maximum(logits, 0) - logits * obj
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    cls_loss = jnp.sum(bce * w) / denom
+    loc_loss = jnp.sum(smooth_l1(deltas - tgt) * pos_w[:, None]) / denom
+    return {"rpn_cls": cls_loss, "rpn_loc": loc_loss}
+
+
+def cascade_stage_losses(cfg: CascadeConfig, stage_idx: int, scores,
+                         deltas, proposals, gt_boxes, gt_classes,
+                         gt_valid, sample_w) -> Dict[str, jnp.ndarray]:
+    """FastRCNNOutputLayers losses for one cascade stage: CE over K+1
+    (background = K) + class-agnostic smooth-L1 on foreground deltas,
+    both normalized by the number of sampled proposals."""
+    ious = (0.5, 0.6, 0.7)
+    idx, labels = match_to_gt(proposals, gt_boxes, gt_valid,
+                              pos_thr=ious[stage_idx],
+                              neg_thr=ious[stage_idx])
+    K = cfg.num_classes
+    cls_target = jnp.where(labels == 1, gt_classes[idx], K)
+    logp = jax.nn.log_softmax(scores.astype(jnp.float32), -1)
+    nll = -jnp.take_along_axis(logp, cls_target[:, None], -1)[:, 0]
+    denom = jnp.maximum(jnp.sum(sample_w), 1.0)
+    cls_loss = jnp.sum(nll * sample_w) / denom
+    tgt = encode_deltas(proposals, gt_boxes[idx],
+                        cfg.stage_weights[stage_idx])
+    pos_w = sample_w * (labels == 1)
+    loc_loss = jnp.sum(smooth_l1(deltas.astype(jnp.float32) - tgt)
+                       * pos_w[:, None]) / denom
+    return {f"stage{stage_idx}_cls": cls_loss,
+            f"stage{stage_idx}_loc": loc_loss}
+
+
+def cascade_train_losses(head: "CascadeRCNN", pyramid, image_hw, gt_boxes,
+                         gt_classes, gt_valid, rng,
+                         roi_batch: int = 512, roi_pos_frac: float = 0.25
+                         ) -> Dict[str, jnp.ndarray]:
+    """Full detection loss for ONE image (B=1 pyramid): RPN losses +
+    3 cascade stages. GT boxes are appended to the sampled proposals
+    (detectron2 add_ground_truth_to_proposals); boxes are detached
+    between stages (CascadeROIHeads._run_stage)."""
+    c = head.config
+    levels = [pyramid[k] for k in ("p2", "p3", "p4", "p5", "p6")]
+    outs = head.rpn_head(levels)
+    r_rpn, r_roi, r_stage = jax.random.split(rng, 3)
+    losses = rpn_train_losses(c, outs, levels, gt_boxes, gt_valid, r_rpn)
+
+    boxes, prop_logits = head.proposals(pyramid, image_hw)
+    boxes = jnp.concatenate([boxes, gt_boxes], axis=0)
+    feats = [pyramid[k] for k in ("p2", "p3", "p4", "p5")]
+
+    # one 512-sample (25% fg at IoU 0.5) reused across stages — detectron2
+    # resamples only implicitly via the refined boxes
+    _, labels0 = match_to_gt(boxes, gt_boxes, gt_valid, 0.5, 0.5)
+    sample_w = subsample_labels(labels0, roi_batch, roi_pos_frac, r_roi)
+
+    for si, stage in enumerate(head.stages):
+        pooled = multilevel_roi_align(feats, boxes, c.strides[:4],
+                                      c.pooler_resolution)
+        flat = pooled.reshape(pooled.shape[0], -1)
+        scores, deltas = stage(flat)
+        losses.update(cascade_stage_losses(
+            c, si, scores, deltas, boxes, gt_boxes, gt_classes, gt_valid,
+            sample_w))
+        boxes = jax.lax.stop_gradient(clip_boxes(
+            apply_deltas(boxes, deltas, c.stage_weights[si]), image_hw))
+
+    losses["loss"] = sum(v for k, v in losses.items() if k != "loss")
+    return losses
