@@ -905,6 +905,33 @@ def cmd_train(args) -> int:
                             grad_clip=1.0, weight_decay=0.05,
                             warmup_steps=args.warmup_steps)
         eval_fn = None
+    elif args.model == "gem":
+        from advancedliteratemachinery_tpu.engine.recipes import (
+            gem_swde_recipe,
+        )
+        from advancedliteratemachinery_tpu.models.gem import (
+            GEMConfig, GEMForSWDE)
+
+        cfg = GEMConfig()
+        model = GEMForSWDE(cfg)
+        ds = B.GEMSwdeDataset(args.train_data[0])
+        batch_iter = B.gem_swde_batches(
+            ds, args.batch_size, xpath_depth=cfg.max_xpath_depth,
+            use_render_bbox=cfg.use_render_bbox, seed=args.seed)
+        sample = jax.tree.map(jnp.asarray, next(batch_iter))
+        params = model.init(jax.random.PRNGKey(args.seed), sample)["params"]
+        if args.init_torch_ckpt:   # pretrained GEM/MarkupLM encoder
+            from advancedliteratemachinery_tpu.engine.checkpoint import (
+                TORCH_IMPORTERS, load_torch_state_dict)
+
+            params = dict(params)
+            params["gem"] = TORCH_IMPORTERS["gem_markuplm"](
+                load_torch_state_dict(args.init_torch_ckpt),
+                jax.tree.map(np.asarray, params["gem"]))
+        loss_fn, _ = gem_swde_recipe(model)
+        tx = make_optimizer(lr=args.lr, total_steps=args.steps,
+                            grad_clip=1.0, warmup_steps=args.warmup_steps)
+        eval_fn = None
     elif args.model == "db":
         from advancedliteratemachinery_tpu.data.coco_spotting import (
             CocoSpottingDataset,
@@ -1015,7 +1042,7 @@ def main(argv=None) -> int:
     p.add_argument("model", choices=["mgp_str", "lister", "levocr",
                                      "omniparser", "db", "lore",
                                      "geolayoutlm", "vlpt", "webrpg",
-                                     "lvtr", "trcg", "vgt"])
+                                     "lvtr", "trcg", "vgt", "gem"])
     p.add_argument("--train-data", nargs="+", required=True,
                    help="LMDB source dirs (mixed per --ratios); for "
                         "omniparser: a COCO spotting annotation json")

@@ -853,3 +853,61 @@ def vgt_batches(
             batch["gt_classes"][k] = max(int(a["category_id"]) - 1, 0)
             batch["gt_valid"][k] = 1.0
         yield batch
+
+
+class GEMSwdeDataset:
+    """Preprocessed SWDE page records (jsonl: per page tokenized node
+    sequences — {"input_ids", "xpath_tags_seq", "xpath_subs_seq",
+    "labels", optional "render_bbox"} — the shape of the reference
+    run_swde/run.py load_and_cache_one_website features)."""
+
+    def __init__(self, manifest: str):
+        import json
+
+        self.rows = []
+        with open(manifest, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    self.rows.append(json.loads(line))
+
+    def __len__(self):
+        return len(self.rows)
+
+
+def gem_swde_batches(
+    dataset: GEMSwdeDataset,
+    batch_size: int,
+    max_seq: int = 384,
+    xpath_depth: int = 50,
+    use_render_bbox: bool = True,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """SWDE fine-tune batches: pad token/xpath sequences to max_seq; label
+    padding carries -100 (ignored by the CE)."""
+    rng = np.random.default_rng(seed)
+    S, D = max_seq, xpath_depth
+    while True:
+        batch = {
+            "input_ids": np.zeros((batch_size, S), np.int32),
+            "attention_mask": np.zeros((batch_size, S), np.int32),
+            "xpath_tags_seq": np.zeros((batch_size, S, D), np.int32),
+            "xpath_subs_seq": np.zeros((batch_size, S, D), np.int32),
+            "labels": np.full((batch_size, S), -100, np.int32),
+        }
+        if use_render_bbox:
+            batch["render_bbox"] = np.zeros((batch_size, S, 4), np.float32)
+        for b in range(batch_size):
+            r = dataset.rows[int(rng.integers(0, len(dataset)))]
+            n = min(len(r["input_ids"]), S)
+            batch["input_ids"][b, :n] = r["input_ids"][:n]
+            batch["attention_mask"][b, :n] = 1
+            tags = np.asarray(r["xpath_tags_seq"], np.int32)[:n, :D]
+            subs = np.asarray(r["xpath_subs_seq"], np.int32)[:n, :D]
+            batch["xpath_tags_seq"][b, :n, : tags.shape[1]] = tags
+            batch["xpath_subs_seq"][b, :n, : subs.shape[1]] = subs
+            batch["labels"][b, :n] = r["labels"][:n]
+            if use_render_bbox and "render_bbox" in r:
+                bb = np.asarray(r["render_bbox"], np.float32)[:n]
+                batch["render_bbox"][b, :n] = bb
+        yield batch

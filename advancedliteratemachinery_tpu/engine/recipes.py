@@ -293,3 +293,26 @@ def vgt_recipe(detector) -> Tuple[Callable, Any]:
 
 
 RECIPES["vgt"] = vgt_recipe
+
+
+def gem_swde_recipe(model) -> Tuple[Callable, Any]:
+    """GEM SWDE attribute extraction (reference run_swde/run.py train:
+    AdamW + linear warmup, token-classification CE with -100 ignore).
+    batch: the GEMEncoder dict + labels [B, S]."""
+
+    def loss_fn(params, batch, rng):
+        logits = model.apply({"params": params}, batch,
+                             deterministic=False, rngs={"dropout": rng})
+        labels = batch["labels"]
+        valid = (labels != -100).astype(jnp.float32)
+        safe = jnp.where(labels == -100, 0, labels)
+        logp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+        loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return loss, {"loss": loss}
+
+    return loss_fn, make_optimizer(lr=2e-5, total_steps=50_000,
+                                   grad_clip=1.0, warmup_steps=1_000)
+
+
+RECIPES["gem_swde"] = gem_swde_recipe
