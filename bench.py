@@ -173,11 +173,20 @@ def latency_bench(engine, batch: int = 1, iters: int = 60):
     return (float(np.percentile(lats, 50)), float(np.percentile(lats, 99)))
 
 
-def _retry(fn, attempts=3, wait_s=45):
+def _retry(fn, attempts=3, wait_s=45, stage_timeout=480):
     """The axon TPU tunnel drops transiently (FAILED_PRECONDITION on any
-    op); a short backoff + retry usually recovers — cheap insurance so the
-    driver's end-of-round record survives a flaky window."""
+    op) or hangs silently; a per-stage SIGALRM watchdog + backoff retry
+    keeps the driver's end-of-round record alive through a flaky window.
+    (A hang inside a blocking C call may not be interruptible — the outer
+    process timeout remains the backstop.)"""
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("bench stage exceeded its watchdog")
+
     for i in range(attempts):
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(stage_timeout)
         try:
             return fn()
         except Exception as e:          # noqa: BLE001 — backend errors vary
@@ -186,6 +195,9 @@ def _retry(fn, attempts=3, wait_s=45):
             print(f"# bench stage failed ({type(e).__name__}); "
                   f"retrying in {wait_s}s", flush=True)
             time.sleep(wait_s)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
 
 def main():
