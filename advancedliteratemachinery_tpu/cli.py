@@ -525,6 +525,24 @@ def cmd_ccocr_eval(args) -> int:
     return 0
 
 
+def cmd_eval_det(args) -> int:
+    """COCO-protocol detection scoring: detections JSON + ground-truth
+    JSON → mAP/AP50/AP75 + per-category AP (the metric detectron2's
+    COCOEvaluator reports for VGT — VGTTrainer.py:668)."""
+    from advancedliteratemachinery_tpu.eval.det_map import coco_map
+
+    with open(args.detections, encoding="utf-8") as f:
+        dets = json.load(f)
+    with open(args.ground_truth, encoding="utf-8") as f:
+        gt = json.load(f)
+    if isinstance(gt, dict):            # full COCO file → annotations
+        gt = gt.get("annotations", gt)
+    if isinstance(dets, dict):
+        dets = dets.get("annotations", dets)
+    print(json.dumps(coco_map(dets, gt), indent=2, default=float))
+    return 0
+
+
 def cmd_create_lmdb(args) -> int:
     from advancedliteratemachinery_tpu.data.lmdb_writer import create_str_lmdb
 
@@ -1093,6 +1111,14 @@ def main(argv=None) -> int:
     p.add_argument("--batch-max-length", type=int, default=25)
     p.add_argument("--charset")
 
+    p = sub.add_parser("eval-det",
+                       help="COCO-protocol detection mAP from a "
+                            "detections JSON vs ground truth")
+    p.add_argument("detections", help="[{image_id, category_id, bbox "
+                                      "xywh, score}] or COCO results file")
+    p.add_argument("ground_truth", help="[{image_id, category_id, bbox}] "
+                                        "or a full COCO annotation file")
+
     p = sub.add_parser("ccocr-eval",
                        help="CC-OCR benchmark harness over a predictions "
                             "directory")
@@ -1127,7 +1153,7 @@ def main(argv=None) -> int:
             "structurize": cmd_structurize, "table": cmd_table,
             "convert": cmd_convert, "bench": cmd_bench, "train": cmd_train,
             "create-lmdb": cmd_create_lmdb, "eval": cmd_eval,
-            "ccocr-eval": cmd_ccocr_eval,
+            "ccocr-eval": cmd_ccocr_eval, "eval-det": cmd_eval_det,
             "augment-preview": cmd_augment_preview,
             "import-ckpt": cmd_import_ckpt}[args.command](args)
 

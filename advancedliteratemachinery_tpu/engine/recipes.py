@@ -316,3 +316,25 @@ def gem_swde_recipe(model) -> Tuple[Callable, Any]:
 
 
 RECIPES["gem_swde"] = gem_swde_recipe
+
+
+def webrpg_vae_recipe(model, cfg) -> Tuple[Callable, Any]:
+    """Stage-1 WebRPG: pretrain the element VAE alone (the reference
+    trains it separately and the AR stage loads it frozen —
+    trainer_ar.py:128). batch: param_ids [B, N, T] + element_mask [B, N];
+    model: models.webrpg.ElementVAE."""
+    from advancedliteratemachinery_tpu.models.webrpg import vae_loss
+
+    def loss_fn(params, batch, rng):
+        B, N, T = batch["param_ids"].shape
+        flat = batch["param_ids"].reshape(B * N, T)
+        recon, mu, logvar, _ = model.apply({"params": params}, flat, rng)
+        m = vae_loss(recon, flat, mu, logvar, cfg.kld_weight)
+        m["loss"] = m.pop("vae_loss")
+        return m["loss"], m
+
+    return loss_fn, make_optimizer(lr=1e-4, total_steps=100_000,
+                                   grad_clip=1.0, warmup_steps=500)
+
+
+RECIPES["webrpg_vae"] = webrpg_vae_recipe

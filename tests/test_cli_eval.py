@@ -72,3 +72,58 @@ class TestCcocrEvalCli:
         out = json.loads(buf.getvalue())
         assert "scene_en" in out and "_overall" in out
         assert 0.0 < out["_overall"]["score"] <= 1.0
+
+
+class TestEvalDetCli:
+    def test_scores_detections_file(self, tmp_path, monkeypatch):
+        from advancedliteratemachinery_tpu import cli
+
+        gt = {"images": [{"id": 1}],
+              "annotations": [{"image_id": 1, "category_id": 1,
+                               "bbox": [0, 0, 10, 10]}]}
+        dets = [{"image_id": 1, "category_id": 1, "bbox": [0, 0, 10, 10],
+                 "score": 0.9}]
+        (tmp_path / "gt.json").write_text(json.dumps(gt))
+        (tmp_path / "dt.json").write_text(json.dumps(dets))
+        buf = io.StringIO()
+        monkeypatch.setattr(sys, "stdout", buf)
+        rc = cli.main(["eval-det", str(tmp_path / "dt.json"),
+                       str(tmp_path / "gt.json")])
+        sys.stdout = sys.__stdout__
+        assert rc == 0
+        out = json.loads(buf.getvalue())
+        assert np.isclose(out["mAP"], 1.0)
+
+
+class TestWebRPGVaeRecipe:
+    def test_vae_pretrain_through_fit(self):
+        import itertools
+
+        import jax
+
+        from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+        from advancedliteratemachinery_tpu.engine.fit import FitConfig, fit
+        from advancedliteratemachinery_tpu.engine.recipes import (
+            webrpg_vae_recipe,
+        )
+        from advancedliteratemachinery_tpu.models.webrpg import (
+            ElementVAE, WebRPGConfig)
+        from advancedliteratemachinery_tpu.parallel.mesh import create_mesh
+
+        cfg = WebRPGConfig(param_vocab=16, parameters_len=4, latent_dim=4,
+                           vae_hidden=(8, 16))
+        model = ElementVAE(cfg, policy=FP32_POLICY)
+        rng = np.random.default_rng(0)
+        batch = {"param_ids": rng.integers(0, 16, (2, 3, 4)).astype(np.int32),
+                 "element_mask": np.ones((2, 3), np.float32)}
+        params = model.init(jax.random.PRNGKey(0),
+                            batch["param_ids"].reshape(6, 4),
+                            jax.random.PRNGKey(1))["params"]
+        loss_fn, tx = webrpg_vae_recipe(model, cfg)
+        res = fit(loss_fn, tx, params, itertools.repeat(batch),
+                  FitConfig(total_steps=4, log_interval=2),
+                  mesh=create_mesh(data=1, devices=jax.devices()[:1]),
+                  log_fn=lambda m: None)
+        assert res.steps_run == 4
+        assert np.isfinite(res.last_metrics["loss"])
+        assert "kld" in res.last_metrics
