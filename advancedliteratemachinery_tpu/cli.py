@@ -5,13 +5,21 @@ demo.py / example.py — SURVEY.md §1 "public interface") with one
 `python -m advancedliteratemachinery_tpu.cli <command>`:
 
   models                       list registered models/codecs/modules
-  recognize IMG [IMG...]       MGP-STR word-crop recognition
-  read IMG                     general text reading (DB det + MGP-STR rec)
-  structurize IMG              document structurization → JSON
+  recognize IMG [IMG...]       word-crop recognition (mgp_str/lister/levocr)
+  read / structurize / table   page pipelines → JSON (+ --visualize)
+  convert DOC                  whole image/PDF → per-page JSON
+  train MODEL ...              launch/resume training (13 models, one driver)
+  eval --data LMDB...          STR benchmark suite (per-set + weighted acc)
+  eval-det DT.json GT.json     COCO-protocol detection mAP
+  ccocr-eval INDEX PRED GT     CC-OCR LMM benchmark harness
+  create-lmdb GT OUT           build an STR LMDB from path\\tlabel lines
+  import-ckpt FAMILY PTH OUT   reference torch/safetensors → Orbax
+  augment-preview IMG          per-op augmentation contact sheet
   bench                        the repo benchmark (same as bench.py)
 
-Checkpoints: --ckpt loads an Orbax checkpoint; --torch-ckpt imports a
-reference .pth (MGP-STR).
+Checkpoints: --ckpt loads an Orbax checkpoint; --torch-ckpt /
+--init-torch-ckpt imports reference .pth / .safetensors / sharded-HF
+artifacts via the per-family importers.
 """
 
 from __future__ import annotations
