@@ -66,3 +66,81 @@ def confidence_ensemble(predictions: Sequence[Sequence[str]],
         best = max(range(n_runs), key=lambda r: confidences[r][i])
         out.append(predictions[best][i])
     return out
+
+
+def spotting_fscore(predictions, ground_truths, iou_thr: float = 0.5,
+                    e2e: bool = False, case_sensitive: bool = False):
+    """ICDAR/Total-Text-style spotting evaluation: greedy one-to-one
+    quad-IoU matching at `iou_thr`; with `e2e` a match additionally
+    requires transcription equality (the protocol behind OmniParser's
+    Total-Text numbers — engine/val.py writes the prediction JSON this
+    consumes).
+
+    predictions / ground_truths: per-image dicts keyed by image id →
+    list of {"polys": [4, 2] or flat [8] quad, "text"?: str}. GT entries
+    with "ignore": True (ICDAR '###' don't-care regions) neither count as
+    recall targets nor penalize matched detections.
+
+    → {"precision", "recall", "hmean", "matched", "num_det", "num_gt"}.
+    """
+    import jax.numpy as jnp
+
+    from advancedliteratemachinery_tpu.ops.nms import quad_iou
+
+    def norm(s):
+        s = s or ""
+        return s if case_sensitive else s.lower()
+
+    matched = 0
+    num_det = 0
+    num_gt = 0
+    for img_id, gts in ground_truths.items():
+        preds = predictions.get(img_id, [])
+        care = [g for g in gts if not g.get("ignore", False)]
+        ignore = [g for g in gts if g.get("ignore", False)]
+        num_gt += len(care)
+
+        def quads(items):
+            if not items:
+                return np.zeros((0, 4, 2), np.float32)
+            return np.stack([np.asarray(it["polys"],
+                                        np.float32).reshape(4, 2)
+                             for it in items])
+
+        pq = quads(preds)
+        if len(pq) == 0:
+            continue
+        # drop detections inside don't-care regions before counting
+        if len(ignore):
+            iou_ign = np.asarray(quad_iou(jnp.asarray(pq)[:, None],
+                                          jnp.asarray(quads(ignore))[None]))
+            keep = iou_ign.max(axis=1) < iou_thr
+            preds = [p for p, k in zip(preds, keep) if k]
+            pq = pq[keep]
+        num_det += len(pq)
+        if not care or len(pq) == 0:
+            continue
+        iou = np.asarray(quad_iou(jnp.asarray(pq)[:, None],
+                                  jnp.asarray(quads(care))[None]))
+        taken = set()
+        # greedy: best IoU pairs first (ICDAR one-to-one matching)
+        order = np.dstack(np.unravel_index(np.argsort(-iou, axis=None),
+                                           iou.shape))[0]
+        used_pred = set()
+        for pi, gi in order:
+            if iou[pi, gi] < iou_thr:
+                break
+            if pi in used_pred or gi in taken:
+                continue
+            if e2e and norm(preds[pi].get("text")) != norm(
+                    care[gi].get("text")):
+                continue
+            used_pred.add(int(pi))
+            taken.add(int(gi))
+            matched += 1
+    precision = matched / num_det if num_det else 0.0
+    recall = matched / num_gt if num_gt else 0.0
+    hmean = (2 * precision * recall / (precision + recall)
+             if precision + recall else 0.0)
+    return {"precision": precision, "recall": recall, "hmean": hmean,
+            "matched": matched, "num_det": num_det, "num_gt": num_gt}

@@ -52,3 +52,62 @@ class TestEnsemble:
         preds = [["aa", "bb"], ["ax", "by"]]
         confs = [[0.9, 0.1], [0.2, 0.8]]
         assert confidence_ensemble(preds, confs) == ["aa", "by"]
+
+
+class TestSpottingFscore:
+    def _sq(self, x, y, s=10):
+        return [[x, y], [x + s, y], [x + s, y + s], [x, y + s]]
+
+    def test_detection_prf(self):
+        from advancedliteratemachinery_tpu.eval.spotting_eval import (
+            spotting_fscore,
+        )
+
+        gts = {1: [{"polys": self._sq(0, 0), "text": "cat"},
+                   {"polys": self._sq(40, 40), "text": "dog"}]}
+        preds = {1: [{"polys": self._sq(0, 0), "text": "cat"},
+                     {"polys": self._sq(80, 80), "text": "xx"}]}   # FP
+        m = spotting_fscore(preds, gts)
+        assert m["matched"] == 1 and m["num_det"] == 2 and m["num_gt"] == 2
+        assert np.isclose(m["precision"], 0.5)
+        assert np.isclose(m["recall"], 0.5)
+        assert np.isclose(m["hmean"], 0.5)
+
+    def test_e2e_requires_text_match(self):
+        from advancedliteratemachinery_tpu.eval.spotting_eval import (
+            spotting_fscore,
+        )
+
+        gts = {1: [{"polys": self._sq(0, 0), "text": "cat"}]}
+        preds = {1: [{"polys": self._sq(0, 0), "text": "cot"}]}
+        assert spotting_fscore(preds, gts)["matched"] == 1        # det ok
+        assert spotting_fscore(preds, gts, e2e=True)["matched"] == 0
+        preds_ok = {1: [{"polys": self._sq(0, 0), "text": "CAT"}]}
+        assert spotting_fscore(preds_ok, gts, e2e=True)["hmean"] == 1.0
+
+    def test_ignore_regions_neither_count_nor_penalize(self):
+        from advancedliteratemachinery_tpu.eval.spotting_eval import (
+            spotting_fscore,
+        )
+
+        gts = {1: [{"polys": self._sq(0, 0), "text": "cat"},
+                   {"polys": self._sq(40, 40), "text": "###",
+                    "ignore": True}]}
+        # detection inside the don't-care region is dropped, not a FP
+        preds = {1: [{"polys": self._sq(0, 0), "text": "cat"},
+                     {"polys": self._sq(40, 40), "text": "zz"}]}
+        m = spotting_fscore(preds, gts)
+        assert m["num_gt"] == 1 and m["num_det"] == 1
+        assert m["hmean"] == 1.0
+
+    def test_one_to_one_matching(self):
+        from advancedliteratemachinery_tpu.eval.spotting_eval import (
+            spotting_fscore,
+        )
+
+        # two detections on one GT: only one counts, the other is a FP
+        gts = {1: [{"polys": self._sq(0, 0)}]}
+        preds = {1: [{"polys": self._sq(0, 0)},
+                     {"polys": self._sq(1, 1)}]}
+        m = spotting_fscore(preds, gts)
+        assert m["matched"] == 1 and m["num_det"] == 2
