@@ -994,6 +994,13 @@ def cmd_train(args) -> int:
     else:
         raise SystemExit(f"unknown trainable model {args.model!r}")
 
+    if args.grad_accum > 1:
+        from advancedliteratemachinery_tpu.engine.train_extras import (
+            with_accumulation,
+        )
+
+        tx = with_accumulation(tx, args.grad_accum)
+
     fit_cfg = FitConfig(
         total_steps=args.steps, log_interval=args.log_interval,
         val_interval=args.val_interval if args.val_data else 0,
@@ -1103,6 +1110,8 @@ def main(argv=None) -> int:
                    help="LoRA rank for trcg finetuning (reference lora_r)")
     p.add_argument("--num-classes", type=int, default=5,
                    help="detection categories (vgt; PubLayNet=5)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient accumulation steps (optax.MultiSteps)")
 
     p = sub.add_parser("eval",
                        help="STR benchmark over LMDB eval sets "

@@ -31,22 +31,68 @@ from advancedliteratemachinery_tpu.core.registry import MODELS
 BN_MOMENTUM = 0.9
 
 
+class _S2DConv7x7s2(nn.Module):
+    """7x7 stride-2 conv computed via space-to-depth, exactly.
+
+    A few-channel stride-2 stem conv is the worst case for the TPU MXU
+    (contraction dim 7*7*3, channel dim 3 padded to the 128-lane register
+    width). Rewriting input [B,H,W,C] -> [B,H/2,W/2,4C] (2x2 blocks into
+    channels) turns it into a DENSE 4x4 stride-1 conv with the identical
+    function: O[i,j] = sum_{u,v} W[u,v] X[2i+u-3, 2j+v-3] and
+    2i+u-3 = 2(i+a)+dr with (a+2, dr) = divmod(u+1, 2), so the 7x7 kernel
+    scatters into a zero-padded (4,4,4C,F) kernel applied with padding
+    (2,1). Same trick as the MLPerf TPU ResNet conv0. The parameter stays
+    the canonical (7,7,C,F) nn.Conv kernel so checkpoint import paths are
+    unchanged.
+    """
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        B, H, W_, C = x.shape
+        kern = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, C, self.features), self.param_dtype).astype(self.dtype)
+        # kernel: pad to (8,8), split each spatial dim into (tap, parity)
+        k8 = jnp.pad(kern, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k8 = k8.reshape(4, 2, 4, 2, C, self.features)
+        w2 = k8.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * C,
+                                                    self.features)
+        # input: 2x2 spatial blocks -> channels, matching (dr, ds, c) order
+        x2 = x.reshape(B, H // 2, 2, W_ // 2, 2, C)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W_ // 2,
+                                                    4 * C)
+        return jax.lax.conv_general_dilated(
+            x2, w2, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ConvBNRelu(nn.Module):
     features: int
     kernel: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
     relu: bool = True
+    s2d: bool = False    # 7x7/s2 only: space-to-depth reparameterization
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.policy
-        # torch-style symmetric (k-1)//2 padding (flax SAME is asymmetric at
-        # stride>1, shifting the grid vs torch checkpoints — see MaskedConv)
-        x = nn.Conv(self.features, self.kernel, self.strides,
-                    padding=[((k - 1) // 2, (k - 1) // 2) for k in self.kernel],
-                    use_bias=False, dtype=p.compute_dtype,
-                    param_dtype=p.param_dtype, name="conv")(x)
+        if self.s2d and self.kernel == (7, 7) and self.strides == (2, 2):
+            x = _S2DConv7x7s2(self.features, dtype=p.compute_dtype,
+                              param_dtype=p.param_dtype, name="conv")(x)
+        else:
+            # torch-style symmetric (k-1)//2 padding (flax SAME is
+            # asymmetric at stride>1, shifting the grid vs torch
+            # checkpoints — see MaskedConv)
+            x = nn.Conv(self.features, self.kernel, self.strides,
+                        padding=[((k - 1) // 2, (k - 1) // 2)
+                                 for k in self.kernel],
+                        use_bias=False, dtype=p.compute_dtype,
+                        param_dtype=p.param_dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          dtype=jnp.float32, param_dtype=p.param_dtype,
                          name="bn")(x).astype(p.compute_dtype)
@@ -77,6 +123,7 @@ class DBConfig(ConfigBase):
     fpn_dim: int = 256
     head_dim: int = 64
     k: float = 50.0           # binarization steepness
+    stem_s2d: bool = True     # space-to-depth stem conv (exact, faster)
 
 
 @MODELS.register("db_detector")
@@ -91,8 +138,8 @@ class DBDetector(nn.Module):
         cfg = self.config
         p = self.policy
         w = cfg.width
-        x = ConvBNRelu(w, (7, 7), (2, 2), policy=p, name="stem")(
-            images.astype(p.compute_dtype), train)
+        x = ConvBNRelu(w, (7, 7), (2, 2), s2d=cfg.stem_s2d, policy=p,
+                       name="stem")(images.astype(p.compute_dtype), train)
         # torch MaxPool2d(3, 2, padding=1): symmetric, unlike SAME at stride 2
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         feats = []

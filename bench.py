@@ -173,7 +173,7 @@ def latency_bench(engine, batch: int = 1, iters: int = 60):
     return (float(np.percentile(lats, 50)), float(np.percentile(lats, 99)))
 
 
-def _retry(fn, attempts=3, wait_s=45, stage_timeout=480):
+def _retry(fn, attempts=4, wait_s=120, stage_timeout=480):
     """The axon TPU tunnel drops transiently (FAILED_PRECONDITION on any
     op) or hangs silently; a per-stage SIGALRM watchdog + backoff retry
     keeps the driver's end-of-round record alive through a flaky window.
