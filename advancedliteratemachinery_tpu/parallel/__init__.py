@@ -11,8 +11,24 @@ from advancedliteratemachinery_tpu.parallel.sharding import (
     infer_param_specs,
     shard_params,
 )
+from advancedliteratemachinery_tpu.parallel.pipeline import (
+    AXIS_PIPE,
+    create_pipeline_mesh,
+    gpipe_apply,
+    make_scan_stage,
+    partition_stages,
+    split_microbatches,
+    stack_layer_params,
+)
 
 __all__ = [
+    "AXIS_PIPE",
+    "create_pipeline_mesh",
+    "gpipe_apply",
+    "make_scan_stage",
+    "partition_stages",
+    "split_microbatches",
+    "stack_layer_params",
     "AXIS_DATA",
     "AXIS_FSDP",
     "AXIS_MODEL",
