@@ -20,9 +20,17 @@ from advancedliteratemachinery_tpu.parallel.pipeline import (
     split_microbatches,
     stack_layer_params,
 )
+from advancedliteratemachinery_tpu.parallel.ring_attention import (
+    AXIS_SEQ,
+    create_seq_mesh,
+    ring_attention,
+)
 
 __all__ = [
     "AXIS_PIPE",
+    "AXIS_SEQ",
+    "create_seq_mesh",
+    "ring_attention",
     "create_pipeline_mesh",
     "gpipe_apply",
     "make_scan_stage",
