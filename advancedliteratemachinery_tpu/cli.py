@@ -560,6 +560,28 @@ def cmd_create_lmdb(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP recognition service (engine/http_serving.py): concurrent
+    clients coalesce into fixed-shape TPU forwards through the
+    ContinuousBatcher. The reference has no serving surface to mirror;
+    this is the deployment front of the TPU framework."""
+    from advancedliteratemachinery_tpu.engine.http_serving import (
+        RecognitionHTTPServer)
+
+    engine = _rec_engine(args)
+    detect_fn = _db_detect_fn(args) if args.with_detector else None
+    server = RecognitionHTTPServer(
+        engine, batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+        host=args.host, port=args.port, detect_fn=detect_fn,
+        model_name=args.model)
+    print(f"serving {args.model}/{args.variant} on "
+          f"http://{args.host}:{server.port}  "
+          f"(POST /v1/recognize{', /v1/read' if detect_fn else ''})",
+          flush=True)
+    server.serve_forever()
+    return 0
+
+
 def cmd_train(args) -> int:
     """Launch (or resume) a training run from LMDB sources.
 
@@ -1154,6 +1176,22 @@ def main(argv=None) -> int:
     p.add_argument("--no-check", action="store_true",
                    help="skip image validity checks")
 
+    p = sub.add_parser("serve",
+                       help="HTTP recognition service (continuous batching)")
+    p.add_argument("--model", default="mgp_str",
+                   choices=["mgp_str", "lister", "levocr"])
+    p.add_argument("--variant", default="tiny",
+                   choices=["tiny", "small", "base", "large"])
+    p.add_argument("--ckpt")
+    p.add_argument("--torch-ckpt")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--with-detector", action="store_true",
+                   help="enable POST /v1/read (DB detect + recognize)")
+    p.add_argument("--det-thresh", type=float, default=0.3)
+
     p = sub.add_parser("import-ckpt",
                        help="convert a reference torch .pth → Orbax checkpoint")
     p.add_argument("family", choices=["mgp_str", "lister", "levocr", "lore",
@@ -1172,6 +1210,7 @@ def main(argv=None) -> int:
             "create-lmdb": cmd_create_lmdb, "eval": cmd_eval,
             "ccocr-eval": cmd_ccocr_eval, "eval-det": cmd_eval_det,
             "augment-preview": cmd_augment_preview,
+            "serve": cmd_serve,
             "import-ckpt": cmd_import_ckpt}[args.command](args)
 
 
