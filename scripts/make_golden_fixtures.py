@@ -32,12 +32,24 @@ import golden_common as G  # noqa: E402
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="comma-separated family subset (default: all); "
+                         "use when adding families so committed artifacts "
+                         "stay byte-identical")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
     from advancedliteratemachinery_tpu.engine.checkpoint import (
         load_torch_state_dict,
     )
 
     os.makedirs(G.GOLDEN_DIR, exist_ok=True)
     for fam in G.FAMILIES:
+        if only is not None and fam not in only:
+            continue
         sd, inputs, expected, src = G.build(fam)
         pth = os.path.join(G.GOLDEN_DIR, f"{fam}.pth")
         wrapped = {"model": {"module." + k: torch.as_tensor(v)

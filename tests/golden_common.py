@@ -31,7 +31,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-FAMILIES = ("mgp_str", "lister", "levocr", "lore", "omniparser")
+FAMILIES = ("mgp_str", "lister", "levocr", "lore", "omniparser",
+            "webrpg_vae", "gem_markuplm", "docxlayout")
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "golden")
 
@@ -166,13 +167,90 @@ def run_omniparser(sd, inputs):
     return {t: np.asarray(out[t]) for t in ("pt", "poly", "rec")}
 
 
+def run_webrpg_vae(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_webrpg_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import (
+        import_webrpg_vae)
+    from advancedliteratemachinery_tpu.models.webrpg import (
+        ElementVAE, WebRPGConfig)
+
+    cfg = WebRPGConfig(param_vocab=M.VOCAB, latent_dim=M.LATENT,
+                       parameters_len=M.T, vae_hidden=M.HIDDEN)
+    vae = ElementVAE(cfg, policy=FP32_POLICY)
+    ids = jnp.asarray(inputs["ids"])
+    variables = vae.init(jax.random.PRNGKey(0), ids, jax.random.PRNGKey(1))
+    variables = import_webrpg_vae(sd, _j(variables))
+    mu, logvar = vae.apply(variables, ids, method=ElementVAE.encode)
+    dec = vae.apply(variables, jnp.asarray(inputs["z"]),
+                    method=ElementVAE.decode)
+    return {"mu": np.asarray(mu), "logvar": np.asarray(logvar),
+            "dec": np.asarray(dec)}
+
+
+def run_gem_markuplm(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_gem_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import (
+        import_gem_markuplm)
+    from advancedliteratemachinery_tpu.models.gem import GEMConfig, GEMEncoder
+
+    cfg = GEMConfig(vocab_size=M.VOCAB, hidden_size=M.H, num_layers=M.LAYERS,
+                    heads=M.HEADS, max_position=M.POS,
+                    max_xpath_depth=M.DEPTH, xpath_tag_vocab=M.TAGV,
+                    xpath_subs_vocab=M.SUBV, xpath_unit_hidden=M.UNIT,
+                    use_render_bbox=False)
+    model = GEMEncoder(cfg, policy=FP32_POLICY)
+    batch = {
+        "input_ids": jnp.asarray(inputs["input_ids"]),
+        "attention_mask": jnp.asarray(inputs["attention_mask"]),
+        "xpath_tags_seq": jnp.asarray(inputs["xpath_tags_seq"]),
+        "xpath_subs_seq": jnp.asarray(inputs["xpath_subs_seq"]),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    variables = import_gem_markuplm(sd, _j(variables))
+    return {"hidden": np.asarray(model.apply(variables, batch))}
+
+
+def run_docxlayout(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_docxlayout_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import (
+        import_docxlayout)
+    from advancedliteratemachinery_tpu.models.dla import DLAConfig
+    from advancedliteratemachinery_tpu.models.docxlayout import (
+        DocXLayout, DocXLayoutConfig)
+    from test_dla_import import CH
+
+    cfg = DocXLayoutConfig(
+        num_classes=3, num_secondary_classes=2, top_k=8, top_k_sub=4,
+        dla=DLAConfig(levels=M.LEVELS, channels=CH), head_conv=M.HEAD_CONV)
+    model = DocXLayout(cfg, policy=FP32_POLICY)
+    x = jnp.asarray(inputs["image"])
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = import_docxlayout(sd, _j(variables))
+    got = model.apply(variables, x, method=lambda m, im: m.backbone(im))
+    return {h: np.asarray(got[h]) for h, _ in M.HEADS}
+
+
 RUNNERS = {"mgp_str": run_mgp_str, "lister": run_lister,
            "levocr": run_levocr, "lore": run_lore,
-           "omniparser": run_omniparser}
+           "omniparser": run_omniparser, "webrpg_vae": run_webrpg_vae,
+           "gem_markuplm": run_gem_markuplm, "docxlayout": run_docxlayout}
 
 TOLERANCES = {"mgp_str": (2e-4, 2e-4), "lister": (1e-5, 1e-5),
               "levocr": (3e-3, 3e-3), "lore": (2e-3, 2e-3),
-              "omniparser": (2e-3, 2e-3)}
+              "omniparser": (2e-3, 2e-3), "webrpg_vae": (1e-4, 1e-4),
+              "gem_markuplm": (2e-3, 2e-3), "docxlayout": (2e-3, 2e-3)}
 
 
 # ---------------- per-family: torch artifact + expected outputs ----------------
@@ -298,5 +376,69 @@ def build(family):
         inputs = {"image": img}
         inputs.update({f"seq_{t}": v for t, v in seqs.items()})
         return tm.state_dict_reference_names(), inputs, expected, "torch"
+
+    if family == "webrpg_vae":
+        import test_webrpg_import as M
+
+        torch.manual_seed(0)
+        tm = M.TVAE().eval()
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, M.VOCAB, (3, M.T))
+        z = rng.standard_normal((3, M.LATENT)).astype(np.float32)
+        with torch.no_grad():
+            mu, logvar = tm.encode(torch.from_numpy(ids))
+            dec = tm.decode(torch.from_numpy(z))
+        expected = {"mu": mu.numpy(), "logvar": logvar.numpy(),
+                    "dec": dec.numpy()}
+        return (dict(tm.state_dict()),
+                {"ids": ids.astype(np.int32), "z": z}, expected, "torch")
+
+    if family == "gem_markuplm":
+        import torch.nn as nn
+
+        import test_gem_import as M
+
+        torch.manual_seed(0)
+        emb_word = nn.Embedding(M.VOCAB, M.H)
+        emb_pos = nn.Embedding(M.POS, M.H)
+        emb_tt = nn.Embedding(2, M.H)
+        emb_ln = nn.LayerNorm(M.H, eps=1e-12)
+        xpath = M.TXPath()
+        layers = [M.TLayer() for _ in range(M.LAYERS)]
+        sd = M.torch_sd(emb_word, emb_pos, emb_tt, emb_ln, xpath, layers)
+        rng = np.random.default_rng(0)
+        inputs = {
+            "input_ids": rng.integers(0, M.VOCAB, (2, M.S)).astype(np.int32),
+            "attention_mask": np.ones((2, M.S), np.float32),
+            "xpath_tags_seq": rng.integers(
+                0, M.TAGV, (2, M.S, M.DEPTH)).astype(np.int32),
+            "xpath_subs_seq": rng.integers(
+                0, M.SUBV, (2, M.S, M.DEPTH)).astype(np.int32),
+        }
+        ids = torch.from_numpy(inputs["input_ids"].astype(np.int64))
+        with torch.no_grad():
+            x = emb_word(ids) + emb_pos(torch.arange(M.S))[None] \
+                + emb_tt(torch.zeros_like(ids)) \
+                + xpath(torch.from_numpy(
+                    inputs["xpath_tags_seq"].astype(np.int64)),
+                    torch.from_numpy(
+                        inputs["xpath_subs_seq"].astype(np.int64)))
+            x = emb_ln(x)
+            for l in layers:
+                x = l(x)
+        return sd, inputs, {"hidden": x.numpy()}, "torch"
+
+    if family == "docxlayout":
+        import test_docxlayout_import as M
+
+        torch.manual_seed(0)
+        tm = M.TDLASegV0().eval()
+        img = np.random.default_rng(0).standard_normal(
+            (1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        expected = {h: want[h].numpy().transpose(0, 2, 3, 1)
+                    for h, _ in M.HEADS}
+        return dict(tm.state_dict()), {"image": img}, expected, "torch"
 
     raise KeyError(family)
