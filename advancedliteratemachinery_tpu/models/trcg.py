@@ -238,6 +238,23 @@ class LlamaBlock(nn.Module):
         x = x + self.o_proj(o)
         return self._mlp(x)
 
+    def seq_forward(self, x, positions, seq_mesh):
+        """Sequence-parallel causal pass: attention runs as ring attention
+        over the mesh's ``seq`` axis (parallel/ring_attention.py) instead
+        of materialising the [S, S] bias — the long-context scale-out
+        path (reference ceiling: TRCG's model_max_length 2048 on one GPU
+        via flash-attn, llama_flash_attn_monkey_patch.py). x [B, S, D]
+        with S sharded over ``seq``; projections/MLP stay S-sharded by
+        propagation."""
+        from advancedliteratemachinery_tpu.parallel.ring_attention import (
+            ring_attention)
+
+        h = self.attn_norm(x).astype(self.policy.compute_dtype)
+        q, k, v = self._qkv(h, positions)
+        o = ring_attention(q, k, v, seq_mesh, causal=True)
+        x = x + self.o_proj(o.reshape(*h.shape[:2], -1))
+        return self._mlp(x)
+
     def prefill(self, x, positions, causal_bias, cache_len: int):
         """Causal pass that also returns the KV cache padded to cache_len.
         → (out [B,T,D], (k_cache, v_cache) [B,cache_len,H,hd])."""
@@ -324,6 +341,24 @@ class TRCG(nn.Module):
         bias = jnp.where(jnp.tril(jnp.ones((T, T), bool)), 0.0, -1e9)[None, None]
         for layer in self.layers:
             x = layer(x, positions, bias)
+        return self._head(x)
+
+    def seq_call(self, images, input_ids, seq_mesh,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """__call__ with sequence-parallel layers: the combined prefix
+        (image tokens + text) is sharded over the mesh's ``seq`` axis and
+        every block attends via ring attention. Total sequence length
+        must divide the seq axis size."""
+        x = self._prefix(images, input_ids, deterministic)
+        B, T, _ = x.shape
+        n_seq = seq_mesh.shape["seq"]
+        if T % n_seq:
+            raise ValueError(
+                f"sequence length {T} (image+text tokens) not divisible "
+                f"by seq axis size {n_seq}")
+        positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+        for layer in self.layers:
+            x = layer.seq_forward(x, positions, seq_mesh)
         return self._head(x)
 
     def prefill(self, images, input_ids, cache_len: int):

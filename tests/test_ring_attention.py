@@ -76,6 +76,60 @@ class TestRingAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_trcg_seq_call_matches_forward(self):
+        """The model integration: TRCG.seq_call (every LlamaBlock
+        attending via ring attention over an 8-way seq mesh) reproduces
+        the plain __call__ logits."""
+        from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+        from advancedliteratemachinery_tpu.models.trcg import (
+            TRCG, TRCGConfig)
+        from advancedliteratemachinery_tpu.models.vit import ViTConfig
+
+        cfg = TRCGConfig(
+            vocab_size=64, hidden_size=32, num_layers=2, heads=2,
+            max_seq=64,
+            vision=ViTConfig(img_size=(16, 16), patch_size=16,
+                             embed_dim=32, depth=1, num_heads=2))
+        model = TRCG(cfg, policy=FP32_POLICY)
+        # prefix = 2 image tokens (1 patch + cls → 1 after drop? use
+        # whatever _prefix yields) + text; pick text len so total % 8 == 0
+        imgs = jnp.zeros((2, 16, 16, 3), jnp.float32)
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(1, 60, (2, 15)), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), imgs, ids)
+        ref = model.apply(variables, imgs, ids)
+        T = ref.shape[1]
+        if T % 8:   # pad text to a divisible total
+            ids = jnp.asarray(np.random.default_rng(0).integers(
+                1, 60, (2, 15 + (8 - T % 8))), jnp.int32)
+            ref = model.apply(variables, imgs, ids)
+        mesh = create_seq_mesh(seq=8)
+        got = jax.jit(lambda v, im, i: model.apply(
+            v, im, i, mesh, method=TRCG.seq_call))(variables, imgs, ids)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_seq_call_validates_divisibility(self):
+        from advancedliteratemachinery_tpu.models.trcg import (
+            TRCG, TRCGConfig)
+        from advancedliteratemachinery_tpu.models.vit import ViTConfig
+
+        cfg = TRCGConfig(
+            vocab_size=64, hidden_size=32, num_layers=1, heads=2,
+            max_seq=64,
+            vision=ViTConfig(img_size=(16, 16), patch_size=16,
+                             embed_dim=32, depth=1, num_heads=2))
+        model = TRCG(cfg)
+        imgs = jnp.zeros((1, 16, 16, 3), jnp.float32)
+        ids = jnp.ones((1, 3), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), imgs, ids)
+        mesh = create_seq_mesh(seq=8)
+        T = model.apply(variables, imgs, ids).shape[1]
+        if T % 8 == 0:
+            pytest.skip("accidentally divisible")
+        with pytest.raises(ValueError, match="not divisible"):
+            model.apply(variables, imgs, ids, mesh, method=TRCG.seq_call)
+
     def test_bf16_inputs_fp32_accumulation(self):
         q, k, v = _qkv(jax.random.PRNGKey(4))
         qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
