@@ -605,8 +605,12 @@ def cmd_train(args) -> int:
     from advancedliteratemachinery_tpu.engine.fit import FitConfig, fit
     from advancedliteratemachinery_tpu.engine.train import make_optimizer
     from advancedliteratemachinery_tpu.eval.str_eval import benchmark_all_eval
-    from advancedliteratemachinery_tpu.parallel.mesh import create_mesh
+    from advancedliteratemachinery_tpu.parallel.mesh import (
+        create_mesh, maybe_initialize_distributed)
 
+    # multi-host pod slices: bootstrap the JAX runtime before any device
+    # query (no-op on a single host; keyed on JAX_COORDINATOR_ADDRESS)
+    maybe_initialize_distributed()
     mesh = create_mesh(data=-1, fsdp=args.fsdp, model=args.tp)
     L = args.batch_max_length
     batch_stats = None
