@@ -75,9 +75,9 @@ def _mgp_engine(args):
         params = import_mgp_str(load_torch_state_dict(args.torch_ckpt),
                                 jax.tree.map(np.asarray, params))
     elif getattr(args, "ckpt", None):
-        from advancedliteratemachinery_tpu.engine.checkpoint import restore_checkpoint
+        from advancedliteratemachinery_tpu.engine.checkpoint import load_params_checkpoint
 
-        params = restore_checkpoint(args.ckpt, params)
+        params = load_params_checkpoint(args.ckpt, params)
     return MGPSTRInference(model, params, CharCodec())
 
 
@@ -93,8 +93,8 @@ def _rec_engine(args):
 
     from advancedliteratemachinery_tpu.engine.checkpoint import (
         TORCH_IMPORTERS,
+        load_params_checkpoint,
         load_torch_state_dict,
-        restore_checkpoint,
     )
 
     if model_name == "lister":
@@ -110,7 +110,7 @@ def _rec_engine(args):
                 load_torch_state_dict(args.torch_ckpt),
                 jax.tree.map(np.asarray, params))
         elif getattr(args, "ckpt", None):
-            params = restore_checkpoint(args.ckpt, params)
+            params = load_params_checkpoint(args.ckpt, params)
         return LISTERInference(m, params)
 
     from advancedliteratemachinery_tpu.engine.infer import LevOCRInference
@@ -128,7 +128,7 @@ def _rec_engine(args):
             load_torch_state_dict(args.torch_ckpt),
             jax.tree.map(np.asarray, dict(variables)))
     elif getattr(args, "ckpt", None):
-        variables = restore_checkpoint(args.ckpt, dict(variables))
+        variables = load_params_checkpoint(args.ckpt, dict(variables))
     return LevOCRInference(m, variables)
 
 
@@ -271,8 +271,8 @@ def _lore_table_fn(args):
     variables = model.init_full(jax.random.PRNGKey(0), image_shape=(512, 512))
     if getattr(args, "ckpt", None):
         from advancedliteratemachinery_tpu.engine.checkpoint import (
-            restore_checkpoint)
-        variables = restore_checkpoint(args.ckpt, variables)
+            load_params_checkpoint)
+        variables = load_params_checkpoint(args.ckpt, variables)
     return make_table_predict_fn(model, variables,
                                  score_thresh=args.det_thresh)
 

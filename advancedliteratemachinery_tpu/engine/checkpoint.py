@@ -37,6 +37,71 @@ def restore_checkpoint(path: str, target: Any) -> Any:
         return ckptr.restore(path, target)
 
 
+def load_params_checkpoint(path: str, target: Any) -> Any:
+    """Inference-side loader that accepts ANY repo checkpoint artifact:
+
+    - a raw params/variables tree (``cli import-ckpt`` output) — the
+      reference-analog of loading a converted state dict;
+    - a ``fit()`` train-state save (``step_N``/``best`` payload
+      ``{step, params, opt_state[, batch_stats]}``) — the inference
+      subtree is extracted, so ``--ckpt runs/x/step_5000`` works;
+    - a training *run dir* (``--ckpt runs/x``) — resolves to ``best``
+      when present, else the newest ``step_N`` (MGP-STR's best-acc save
+      convention, train_final_dist.py:195-228).
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "_METADATA")):
+        entries = os.listdir(path)
+        steps = sorted((int(m.group(1)) for e in entries
+                        if (m := re.match(r"step_(\d+)$", e))))
+        if "best" in entries:
+            path = os.path.join(path, "best")
+        elif steps:
+            path = os.path.join(path, f"step_{steps[-1]}")
+
+    with ocp.StandardCheckpointer() as ckptr:
+        try:
+            return ckptr.restore(path, target)
+        except Exception:
+            raw = ckptr.restore(path)          # untyped: raw saved pytree
+
+    if isinstance(raw, dict) and "opt_state" in raw and "params" in raw:
+        # fit() payload → take the inference subtree(s)
+        if isinstance(target, dict) and "params" in target:
+            missing = [k for k in target if k not in raw]
+            if missing:
+                raise ValueError(
+                    f"{path}: train-state checkpoint lacks collections "
+                    f"{missing} required by this model")
+            raw = {k: raw[k] for k in target}
+        else:
+            raw = raw["params"]
+
+    flat_t = jax.tree_util.tree_flatten_with_path(target)[0]
+    flat_r, treedef_r = jax.tree_util.tree_flatten_with_path(raw)
+    if [p for p, _ in flat_t] != [p for p, _ in flat_r]:
+        raise ValueError(
+            f"{path}: checkpoint tree does not match the model "
+            f"({len(flat_r)} vs {len(flat_t)} leaves) — wrong model, "
+            f"variant, or artifact kind")
+    for (kp, t), (_, r) in zip(flat_t, flat_r):
+        if tuple(getattr(t, "shape", ())) != tuple(getattr(r, "shape", ())):
+            name = jax.tree_util.keystr(kp)
+            raise ValueError(
+                f"{path}: shape mismatch at {name}: checkpoint "
+                f"{tuple(r.shape)} vs model {tuple(t.shape)} (wrong "
+                f"variant?)")
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(target),
+        [jnp.asarray(r, getattr(t, "dtype", None))
+         for (_, t), (_, r) in zip(flat_t, flat_r)])
+
+
 # ---------------- PyTorch import ----------------
 
 
