@@ -61,7 +61,8 @@ def _mgp_engine(args):
     from advancedliteratemachinery_tpu.engine.infer import MGPSTRInference
     from advancedliteratemachinery_tpu.models.mgp_str import MGPSTR, MGPSTRConfig
 
-    cfg = MGPSTRConfig(variant=args.variant)
+    L = getattr(args, "batch_max_length", None) or 25
+    cfg = MGPSTRConfig(variant=args.variant, batch_max_length=L)
     model = MGPSTR(cfg)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 32, 128, 3)))["params"]
