@@ -446,7 +446,16 @@ class OmniParser(nn.Module):
     def _greedy(self, dec, task: str, prompt_ids, memory, mem_pos, mem_valid,
                 steps: int, mask_fn, eos_id: Optional[int] = None):
         """prompt_ids [B,P]; mask_fn(step_i, logits) → masked logits.
-        Returns (tokens [B,steps], probs [B,steps], finished_before [B,steps])."""
+        Returns (tokens [B,steps], probs [B,steps], finished_before [B,steps]).
+
+        With an eos_id the decode runs under `lax.while_loop` and exits as
+        soon as every sequence has emitted EOS (the reference breaks its
+        Python loop at EOS, transformer.py:115-129; a scan would always pay
+        all `steps` sequential ticks — 1024 for the pt stage — regardless of
+        how many instances the page actually has). Unexecuted steps keep the
+        buffer defaults: token = padding_index, finished_before = True,
+        prob = 0 (scan would carry an unused junk prob there; nothing
+        consumes probs at finished steps)."""
         c = self.config
         B, P = prompt_ids.shape
         cache_len = P + steps
@@ -476,9 +485,30 @@ class OmniParser(nn.Module):
                 (out_tok, tokp, was_finished)
 
         finished0 = jnp.zeros((B,), bool)
-        (_, _, _, _), (toks, probs, fin) = jax.lax.scan(
-            body, (last_logits, caches, prompt_ids[:, -1], finished0),
-            jnp.arange(steps))
+        carry0 = (last_logits, caches, prompt_ids[:, -1], finished0)
+
+        if eos_id is None:
+            _, (toks, probs, fin) = jax.lax.scan(body, carry0, jnp.arange(steps))
+            return toks.T, probs.T, fin.T  # [B, steps]
+
+        toks0 = jnp.full((steps, B), self.vocab_layout.padding_index, jnp.int32)
+        probs0 = jnp.zeros((steps, B), last_logits.dtype)
+        fin0 = jnp.ones((steps, B), bool)
+
+        def cond(state):
+            i, carry = state[0], state[1]
+            return (i < steps) & ~jnp.all(carry[3])
+
+        def wbody(state):
+            i, carry, toks, probs, fin = state
+            carry, (out_tok, tokp, was_fin) = body(carry, i)
+            toks = jax.lax.dynamic_update_index_in_dim(toks, out_tok, i, 0)
+            probs = jax.lax.dynamic_update_index_in_dim(probs, tokp, i, 0)
+            fin = jax.lax.dynamic_update_index_in_dim(fin, was_fin, i, 0)
+            return (i + 1, carry, toks, probs, fin)
+
+        _, _, toks, probs, fin = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), carry0, toks0, probs0, fin0))
         return toks.T, probs.T, fin.T  # [B, steps]
 
     def infer_spotting(self, images, mask=None) -> Dict[str, jnp.ndarray]:

@@ -197,3 +197,77 @@ class TestSpottingInference:
                 assert t < TINY.num_bins
         # polygons only contain coordinate bins
         assert np.asarray(out["polygons"]).max() < TINY.num_bins
+
+
+class TestGreedyEarlyExit:
+    """The eos path of `_greedy` runs under `lax.while_loop` and exits once
+    every sequence emitted EOS. Tokens/finished must match a Python-loop
+    oracle over the same prefill/step machinery, including the buffer
+    defaults (padding / finished=True) at never-executed steps."""
+
+    def test_while_loop_matches_oracle(self, tiny_omniparser):
+        model, params, v, images, _ = tiny_omniparser
+        steps = TINY.pt_seq_length
+        force_eos_at = 3  # from this step on, only EOS is allowed
+
+        def mask_fn(i, logits):
+            ids = jnp.arange(logits.shape[-1])
+            coord = ids < TINY.num_bins
+            eos = ids == v.pt_eos_index
+            allow = jnp.where(i >= force_eos_at, eos,
+                              jnp.where(i % 2 == 0, coord | eos, coord))
+            return jnp.where(allow[None], logits, -1e9)
+
+        prompt = jnp.asarray(v.pt_prompt(TINY.use_char_window_prompt))[None]
+
+        def run_greedy(m, images):
+            memory, mem_pos, mem_valid = m.encode(images)
+            return m._greedy(m.pt_decoder, "pt", prompt, memory, mem_pos,
+                             mem_valid, steps, mask_fn,
+                             eos_id=v.pt_eos_index)
+
+        toks, probs, fin = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, method=run_greedy)
+        )(params, images)
+        toks, probs, fin = map(np.asarray, (toks, probs, fin))
+
+        # oracle: explicit prefill + step loop with the same eos logic
+        def run_oracle(m, images):
+            memory, mem_pos, mem_valid = m.encode(images)
+            mem_kvs = m.pt_decoder.mem_kvs(memory, mem_pos)
+            mem_bias = jnp.where(mem_valid[:, None, None, :] > 0, 0.0, -1e9)
+            P = prompt.shape[1]
+            emb, qpos = m.embedding(prompt, "pt")
+            logits, caches = m.pt_decoder.prefill(emb, qpos, mem_kvs, mem_bias,
+                                                  P + steps)
+            last = logits[:, -1]
+            finished = jnp.zeros((1,), bool)
+            out_t, out_p, out_f = [], [], []
+            for i in range(steps):
+                ml = mask_fn(i, last)
+                tok = jnp.argmax(ml, axis=-1).astype(jnp.int32)
+                prob = jax.nn.softmax(ml, axis=-1)
+                tokp = jnp.take_along_axis(prob, tok[:, None], axis=1)[:, 0]
+                was = finished
+                finished = finished | (tok == v.pt_eos_index)
+                ot = jnp.where(was, v.padding_index, tok)
+                out_t.append(ot); out_p.append(tokp); out_f.append(was)
+                emb_t, qpos_t = m.embedding(ot[:, None], "pt", pos_offset=P + i)
+                lt, caches = m.pt_decoder.step(emb_t, qpos_t, caches, P + i,
+                                               mem_kvs, mem_bias)
+                last = lt[:, 0]
+            return (jnp.stack(out_t, 1), jnp.stack(out_p, 1),
+                    jnp.stack(out_f, 1))
+
+        ot, op, of = model.apply({"params": params}, images, method=run_oracle)
+        ot, op, of = map(np.asarray, (ot, op, of))
+
+        np.testing.assert_array_equal(toks, ot)
+        np.testing.assert_array_equal(fin, of)
+        # probs match wherever the step actually executed (not yet finished)
+        live = ~of
+        np.testing.assert_allclose(probs[live], op[live], rtol=1e-5, atol=1e-5)
+        # the early exit really fires: EOS at step force_eos_at (+1 for the
+        # odd-parity coordinate step) → everything after is padding
+        assert fin[0, force_eos_at + 2:].all()
+        assert (toks[0, force_eos_at + 2:] == v.padding_index).all()
