@@ -117,3 +117,27 @@ class CoordSeqVocab:
         else:
             seq = [0, 0, self.num_bins - 1, self.num_bins - 1, self.pt_sos_index]
         return np.asarray(seq, np.int32)
+
+    @property
+    def vie_class_base(self) -> int:
+        """First VIE category token id (reference transformer.py:56:
+        index2class maps padding_index + 1 + i)."""
+        return self.padding_index + 1
+
+
+# Dataset label sets for the KIE task (reference transformer.py:50-62:
+# classes_cord / classes_sroie — the constant tables index2class is built
+# from; class token id = padding_index + 1 + position).
+CORD_CLASSES = (
+    "menu.cnt", "menu.discountprice", "menu.etc", "menu.itemsubtotal",
+    "menu.nm", "menu.num", "menu.price", "menu.sub.cnt", "menu.sub.nm",
+    "menu.sub.price", "menu.sub.unitprice", "menu.unitprice", "menu.vatyn",
+    "sub_total.discount_price", "sub_total.etc", "sub_total.othersvc_price",
+    "sub_total.service_price", "sub_total.subtotal_price",
+    "sub_total.tax_price", "total.cashprice", "total.changeprice",
+    "total.creditcardprice", "total.emoneyprice", "total.menuqty_cnt",
+    "total.menutype_cnt", "total.total_etc", "total.total_price",
+    "void_menu.nm", "void_menu.price",
+)
+
+SROIE_CLASSES = ("company", "address", "date", "total")

@@ -144,3 +144,43 @@ def spotting_fscore(predictions, ground_truths, iou_thr: float = 0.5,
              if precision + recall else 0.0)
     return {"precision": precision, "recall": recall, "hmean": hmean,
             "matched": matched, "num_det": num_det, "num_gt": num_gt}
+
+
+def decode_vie_outputs(outputs: Dict[str, np.ndarray],
+                       vocab: CoordSeqVocab,
+                       class_names: Sequence[str],
+                       orig_size) -> List[Dict]:
+    """outputs: the fixed-shape dict from OmniParser.infer_vie → list of
+    entity dicts, mirroring the reference's VIE result assembly
+    (transformer.py:143-215 decode_vie_pt_poly_rec_seq): per class token,
+    the text of its points, the class name, the class-token confidence and
+    the per-point axis-aligned boxes from the 16-point polygon extremes.
+    The period-3 pt masking makes every entity single-point; text joining
+    with ' ' matches the reference's multi-crop ' '.join."""
+    h, w = orig_size
+    nb = vocab.num_bins
+    base = vocab.vie_class_base
+    valid = np.asarray(outputs["instance_valid"][0])
+    polys = np.asarray(outputs["polygons"][0], np.float64)
+    recs = np.asarray(outputs["rec_tokens"][0])
+    classes = np.asarray(outputs["classes"][0])
+    class_probs = np.asarray(outputs["class_probs"][0], np.float64)
+
+    results = []
+    for i in range(len(valid)):
+        if not valid[i]:
+            continue
+        poly = polys[i].reshape(-1, 2)
+        rect = [float(poly[:, 0].min() / nb * w),
+                float(poly[:, 1].min() / nb * h),
+                float(poly[:, 0].max() / nb * w),
+                float(poly[:, 1].max() / nb * h)]
+        ci = int(classes[i]) - base
+        name = class_names[ci] if 0 <= ci < len(class_names) else str(ci)
+        results.append({
+            "text": " ".join([vocab.decode_text(recs[i])]),
+            "class": name,
+            "score": float(class_probs[i]),
+            "rects": [rect],
+        })
+    return results

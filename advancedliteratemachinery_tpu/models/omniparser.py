@@ -542,7 +542,23 @@ class OmniParser(nn.Module):
         pairs = jnp.stack([px, py], axis=1)
         inst_valid = idx < n_pts
 
-        # polygon decode: batch all instances (prompt = [x, y, poly_sos])
+        poly, rec = self._decode_poly_rec(pairs, memory, mem_pos, mem_valid)
+        return {
+            "pt_tokens": pt_toks, "pt_valid": valid_tok[None],
+            "points": pairs[None], "instance_valid": inst_valid[None],
+            "polygons": poly[0][None], "poly_probs": poly[1][None],
+            "rec_tokens": rec[0][None], "rec_probs": rec[1][None],
+        }
+
+    def _decode_poly_rec(self, pairs, memory, mem_pos, mem_valid):
+        """Per-point polygon + content decode, batched over max_instances
+        (the reference loops per point, transformer.py:153-190; here all
+        instances share one KV-cached scan). pairs [N,2] bin tokens."""
+        c = self.config
+        v = self.vocab_layout
+
+        # polygon decode (prompt = [x, y, poly_sos]); the VIE branch's
+        # logits[:-vie_categories] slice is subsumed by the bins-only mask
         sos = jnp.full((c.max_instances, 1), v.poly_sos_index, jnp.int32)
         poly_prompt = jnp.concatenate([pairs, sos], axis=1)
 
@@ -554,7 +570,8 @@ class OmniParser(nn.Module):
             self.poly_decoder, "poly", poly_prompt, memory, mem_pos, mem_valid,
             c.poly_length, poly_mask)
 
-        # rec decode (prompt = [x, y, rec_sos])
+        # rec decode (prompt = [x, y, rec_sos]); `ids <= rec_eos_index`
+        # also excludes the trailing VIE category tokens
         sos = jnp.full((c.max_instances, 1), v.rec_sos_index, jnp.int32)
         rec_prompt = jnp.concatenate([pairs, sos], axis=1)
 
@@ -568,11 +585,63 @@ class OmniParser(nn.Module):
             self.rec_decoder, "rec", rec_prompt, memory, mem_pos, mem_valid,
             c.rec_length, rec_mask)
 
+        return (poly_toks, poly_probs), (rec_toks, rec_probs)
+
+    def infer_vie(self, images, mask=None) -> Dict[str, jnp.ndarray]:
+        """KIE/VIE inference (B=1). The pt decode emits strict
+        (x, y, class) triplets — the reference's period-3 masking
+        (transformer.py:116-124: step%3==0 coordinate-or-EOS, ==1
+        coordinate, ==2 one of the trailing vie_categories class tokens) —
+        then every point gets a batched polygon + content decode
+        (decode_vie_pt_poly_rec_seq, transformer.py:143-215). Returns
+        fixed-shape arrays; `eval.spotting_eval.decode_vie_outputs`
+        assembles host-side entities."""
+        c = self.config
+        v = self.vocab_layout
+        if c.vie_categories <= 0:
+            raise ValueError("infer_vie requires vie_categories > 0")
+        cls_base = v.num_classes - c.vie_categories
+        memory, mem_pos, mem_valid = self.encode(images, mask)
+
+        prompt = jnp.asarray(v.pt_prompt(c.use_char_window_prompt))[None]
+
+        def pt_mask(i, logits):
+            ids = jnp.arange(logits.shape[-1])
+            coord = ids < c.num_bins
+            eos = ids == v.pt_eos_index
+            cls = ids >= cls_base
+            allow = jnp.where(i % 3 == 0, coord | eos,
+                              jnp.where(i % 3 == 1, coord, cls))
+            return jnp.where(allow[None], logits, NEG)
+
+        pt_toks, pt_probs, pt_fin = self._greedy(
+            self.pt_decoder, "pt", prompt, memory, mem_pos, mem_valid,
+            c.pt_seq_length, pt_mask, eos_id=v.pt_eos_index)
+
+        # triplets (x, y, class) before EOS; masking guarantees the layout
+        valid_tok = (~pt_fin[0]) & (pt_toks[0] != v.pt_eos_index)
+        n_tok = jnp.sum(valid_tok.astype(jnp.int32))
+        n_inst = jnp.minimum(n_tok // 3, c.max_instances)
+        idx = jnp.arange(c.max_instances)
+        last = c.pt_seq_length - 1
+        px = jnp.where(idx < n_inst,
+                       pt_toks[0, jnp.minimum(idx * 3, last)], 0)
+        py = jnp.where(idx < n_inst,
+                       pt_toks[0, jnp.minimum(idx * 3 + 1, last)], 0)
+        cls = jnp.where(idx < n_inst,
+                        pt_toks[0, jnp.minimum(idx * 3 + 2, last)], cls_base)
+        cls_prob = jnp.where(idx < n_inst,
+                             pt_probs[0, jnp.minimum(idx * 3 + 2, last)], 0.0)
+        pairs = jnp.stack([px, py], axis=1)
+        inst_valid = idx < n_inst
+
+        poly, rec = self._decode_poly_rec(pairs, memory, mem_pos, mem_valid)
         return {
             "pt_tokens": pt_toks, "pt_valid": valid_tok[None],
             "points": pairs[None], "instance_valid": inst_valid[None],
-            "polygons": poly_toks[None], "poly_probs": poly_probs[None],
-            "rec_tokens": rec_toks[None], "rec_probs": rec_probs[None],
+            "classes": cls[None], "class_probs": cls_prob[None],
+            "polygons": poly[0][None], "poly_probs": poly[1][None],
+            "rec_tokens": rec[0][None], "rec_probs": rec[1][None],
         }
 
 

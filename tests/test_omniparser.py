@@ -271,3 +271,92 @@ class TestGreedyEarlyExit:
         # odd-parity coordinate step) → everything after is padding
         assert fin[0, force_eos_at + 2:].all()
         assert (toks[0, force_eos_at + 2:] == v.padding_index).all()
+
+
+class TestVIEInference:
+    """infer_vie: period-3 pt masking (coordinate, coordinate, class),
+    triplet extraction, batched poly/rec decode, host entity assembly
+    (reference transformer.py:116-124 + decode_vie_pt_poly_rec_seq)."""
+
+    VIE = TINY.replace(vie_categories=3, pt_seq_length=9)
+
+    @pytest.fixture()
+    def vie_model(self):
+        model = OmniParser(self.VIE, policy=FP32_POLICY)
+        v = self.VIE.vocab()
+        images = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        seqs = {
+            "pt": jnp.ones((1, 6), jnp.int32),
+            "poly": jnp.ones((1, 5), jnp.int32),
+            "rec": jnp.ones((1, 5), jnp.int32),
+        }
+        params = model.init(jax.random.PRNGKey(1), images, seqs)["params"]
+        return model, params, v, images
+
+    def test_infer_vie_shapes_and_masking(self, vie_model):
+        model, params, v, images = vie_model
+        c = self.VIE
+        out = jax.jit(lambda p, x: model.apply({"params": p}, x,
+                                               method=model.infer_vie))(
+            params, images)
+        assert out["pt_tokens"].shape == (1, c.pt_seq_length)
+        assert out["classes"].shape == (1, c.max_instances)
+        assert out["points"].shape == (1, c.max_instances, 2)
+        cls_base = v.num_classes - c.vie_categories
+        assert cls_base == v.vie_class_base
+
+        toks = np.asarray(out["pt_tokens"][0])
+        live = np.asarray(out["pt_valid"][0])
+        for i, t in enumerate(toks):
+            if not live[i]:
+                continue
+            if i % 3 == 0:
+                assert t < c.num_bins or t == v.pt_eos_index
+            elif i % 3 == 1:
+                assert t < c.num_bins
+            else:
+                assert t >= cls_base
+        # extracted triplets agree with the raw sequence
+        n_inst = int(np.asarray(out["instance_valid"][0]).sum())
+        assert n_inst == int(live.sum()) // 3
+        for k in range(n_inst):
+            assert out["points"][0, k, 0] == toks[3 * k]
+            assert out["points"][0, k, 1] == toks[3 * k + 1]
+            assert out["classes"][0, k] == toks[3 * k + 2]
+        # invalid slots carry the class base (a valid index for the host)
+        cls = np.asarray(out["classes"][0])
+        assert (cls[n_inst:] == cls_base).all()
+
+    def test_requires_vie_categories(self, tiny_omniparser):
+        model, params, _, images, _ = tiny_omniparser
+        with pytest.raises(ValueError, match="vie_categories"):
+            model.apply({"params": params}, images, method=model.infer_vie)
+
+    def test_host_assembly(self):
+        from advancedliteratemachinery_tpu.eval.spotting_eval import (
+            decode_vie_outputs)
+        v = self.VIE.vocab()
+        base = v.vie_class_base
+        N, L, Lr = 4, self.VIE.poly_length, self.VIE.rec_length
+        outputs = {
+            "instance_valid": np.array([[True, True, False, False]]),
+            "polygons": np.tile(np.array([2, 4, 10, 16], np.int32),
+                                (1, N, 1))[:, :, :L],
+            "rec_tokens": np.full((1, N, Lr), v.encode_text("a")[0],
+                                  np.int32),
+            "classes": np.array([[base, base + 2, base, base]]),
+            "class_probs": np.array([[0.9, 0.5, 0.0, 0.0]]),
+        }
+        res = decode_vie_outputs(outputs, v, ("k0", "k1", "k2"),
+                                 orig_size=(100, 200))
+        assert len(res) == 2
+        assert res[0]["class"] == "k0" and res[1]["class"] == "k2"
+        assert res[0]["text"] == "a" * Lr
+        assert res[0]["score"] == pytest.approx(0.9)
+        # rect: min/max of poly bins scaled by (w, h) / num_bins
+        nb = v.num_bins
+        r = res[0]["rects"][0]
+        assert r[0] == pytest.approx(2 / nb * 200)
+        assert r[1] == pytest.approx(4 / nb * 100)
+        assert r[2] == pytest.approx(10 / nb * 200)
+        assert r[3] == pytest.approx(16 / nb * 100)
