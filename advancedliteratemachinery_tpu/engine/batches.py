@@ -911,3 +911,50 @@ def gem_swde_batches(
                 bb = np.asarray(r["render_bbox"], np.float32)[:n]
                 batch["render_bbox"][b, :n] = bb
         yield batch
+
+
+def prefetch_batches(batches: Iterator[Dict[str, np.ndarray]],
+                     size: int = 2,
+                     sharding=None) -> Iterator[Any]:
+    """Background-thread prefetcher: keeps up to `size` batches ahead of
+    the consumer, with `jax.device_put` (against `sharding` when given)
+    already issued on the producer side. The reference relies on torch
+    DataLoader worker processes for this overlap; on TPU the fit loop's
+    async dispatch hides device time, but the host-side batch assembly
+    (LMDB read + decode + augment + collate) still serializes with step
+    dispatch unless it runs ahead on another thread — numpy/PIL/transfer
+    all release the GIL.
+
+    Exceptions in the source iterator propagate to the consumer at the
+    matching `next()`. The thread is a daemon and also exits when the
+    consumer drops the iterator (queue slots freed by garbage collection).
+    """
+    import queue
+    import threading
+
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
+    _END = object()
+
+    def produce():
+        try:
+            for batch in batches:
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                q.put(batch)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            q.put((_END, e))
+            return
+        q.put((_END, None))
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+
+    while True:
+        item = q.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
+            if item[1] is not None:
+                raise item[1]
+            return
+        yield item

@@ -58,6 +58,8 @@ class FitConfig:
     best_key: str = "accuracy"     # metric maximized for the `best` ckpt
     profile_dir: Optional[str] = None  # jax.profiler trace output
     profile_steps: int = 5         # steps traced (after a warmup step)
+    prefetch: int = 2              # batches kept ahead on a loader thread
+    #                                (0 = fetch inline, pre-round-3 behavior)
 
 
 @dataclasses.dataclass
@@ -168,6 +170,12 @@ def fit(
         # single-device: plain jit, no NamedShardings (see engine.train
         # note on the axon 1-device sharding pathology)
         bshard = None
+
+    if cfg.prefetch:
+        from advancedliteratemachinery_tpu.engine.batches import (
+            prefetch_batches)
+        batches = prefetch_batches(batches, cfg.prefetch, sharding=bshard)
+        bshard = None  # transfers already issued on the loader thread
 
     log_file = None
     if cfg.ckpt_dir:

@@ -294,3 +294,40 @@ class TestFitOverfit:
                   eval_fn=eval_fn, log_fn=lambda m: None)
         assert exact["best"] >= 0.5, \
             f"driver never learned the set (best acc {exact['best']})"
+
+
+class TestPrefetchBatches:
+    def test_order_preserved(self):
+        from advancedliteratemachinery_tpu.engine.batches import (
+            prefetch_batches)
+        src = [{"x": np.full((2, 2), i, np.int32)} for i in range(17)]
+        got = list(prefetch_batches(iter(src), size=3))
+        assert len(got) == 17
+        for i, b in enumerate(got):
+            assert int(np.asarray(b["x"])[0, 0]) == i
+
+    def test_exception_propagates(self):
+        from advancedliteratemachinery_tpu.engine.batches import (
+            prefetch_batches)
+
+        def bad():
+            yield {"x": np.zeros((1,), np.int32)}
+            raise RuntimeError("loader broke")
+
+        it = prefetch_batches(bad(), size=2)
+        next(it)
+        with pytest.raises(RuntimeError, match="loader broke"):
+            next(it)
+
+    def test_device_put_with_sharding(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from advancedliteratemachinery_tpu.engine.batches import (
+            prefetch_batches)
+        from advancedliteratemachinery_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh()
+        sh = NamedSharding(mesh, P())
+        src = [{"x": np.arange(8, dtype=np.int32)}]
+        (b,) = list(prefetch_batches(iter(src), size=1, sharding={"x": sh}))
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["x"]), np.arange(8))
