@@ -583,6 +583,16 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def _train_augment(args):
+    """--rand-aug → a RandAugment instance (reference --isrand_aug,
+    dataset.py:261-345: augs_num groups, intact_prob skip), else None."""
+    if not getattr(args, "rand_aug", False):
+        return None
+    from advancedliteratemachinery_tpu.data.augment import RandAugment
+    return RandAugment(num_groups=args.augs_num,
+                       intact_prob=args.intact_prob, seed=args.seed)
+
+
 def cmd_train(args) -> int:
     """Launch (or resume) a training run from LMDB sources.
 
@@ -650,7 +660,8 @@ def cmd_train(args) -> int:
         mixer = BalancedMixer(datasets, ratios, args.batch_size,
                               seed=args.seed)
         batch_iter = B.mgp_str_batches(mixer, char_codec, bpe, wp,
-                                       AlignCollate())
+                                       AlignCollate(),
+                                       augment=_train_augment(args))
         loss_fn, _ = B.mgp_str_recipe_u8(model)
         tx = make_optimizer(lr=args.lr, total_steps=args.steps, grad_clip=5.0,
                             warmup_steps=args.warmup_steps)
@@ -686,7 +697,8 @@ def cmd_train(args) -> int:
         ratios = args.ratios or [1.0] * len(datasets)
         mixer = BalancedMixer(datasets, ratios, args.batch_size,
                               seed=args.seed)
-        batch_iter = B.lister_batches(mixer, codec, ListerCollate())
+        batch_iter = B.lister_batches(mixer, codec, ListerCollate(),
+                                      augment=_train_augment(args))
         loss_fn, _ = B.lister_recipe_u8(model, cfg)
         tx = make_optimizer(lr=args.lr, total_steps=args.steps,
                             grad_clip=20.0, weight_decay=0.01,
@@ -1139,6 +1151,13 @@ def main(argv=None) -> int:
                    help="detection categories (vgt; PubLayNet=5)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient accumulation steps (optax.MultiSteps)")
+    p.add_argument("--rand-aug", action="store_true",
+                   help="random augmentation (reference --isrand_aug; "
+                        "mgp_str/lister)")
+    p.add_argument("--augs-num", type=int, default=3,
+                   help="augmentation groups per image (reference augs_num)")
+    p.add_argument("--intact-prob", type=float, default=0.5,
+                   help="probability of skipping augmentation")
 
     p = sub.add_parser("eval",
                        help="STR benchmark over LMDB eval sets "

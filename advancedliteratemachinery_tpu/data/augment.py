@@ -865,14 +865,22 @@ class RandAugment:
         self.intact_prob = intact_prob
         self.rng = np.random.default_rng(seed)
 
-    def __call__(self, img: Image.Image) -> Image.Image:
-        if self.rng.uniform() < self.intact_prob:
-            return img
-        chosen = self.rng.choice(self.group_names, self.num_groups, replace=False)
-        for g in chosen:
-            ops = GROUPS[g]
-            op = ops[int(self.rng.integers(0, len(ops)))]
-            mag = (self.magnitude if self.magnitude is not None
-                   else int(self.rng.integers(0, 3)))
-            img = op(img, mag=mag, rng=self.rng)
+    def __call__(self, img):
+        """img: PIL Image or HWC uint8 numpy array (returned in kind)."""
+        as_np = isinstance(img, np.ndarray)
+        if as_np:
+            arr = img
+            img = Image.fromarray(arr[..., 0] if arr.shape[-1] == 1 else arr)
+        if self.rng.uniform() >= self.intact_prob:
+            chosen = self.rng.choice(self.group_names, self.num_groups,
+                                     replace=False)
+            for g in chosen:
+                ops = GROUPS[g]
+                op = ops[int(self.rng.integers(0, len(ops)))]
+                mag = (self.magnitude if self.magnitude is not None
+                       else int(self.rng.integers(0, 3)))
+                img = op(img, mag=mag, rng=self.rng)
+        if as_np:
+            out = np.asarray(img)
+            return out[..., None] if out.ndim == 2 else out
         return img

@@ -27,15 +27,20 @@ def mgp_str_batches(
     bpe_codec=None,
     wp_codec=None,
     collate: Optional[AlignCollate] = None,
+    augment: Optional[Callable] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """MGP-STR batches: images_u8 + char/bpe/wp target ids
     (train_final_dist.py:141-153 encodes all three granularities per
     batch). Missing subword codecs degrade to all-pad targets, which the
-    ignore-pad CE zeroes out — the char head still trains."""
+    ignore-pad CE zeroes out — the char head still trains. `augment` is a
+    per-image callable (data.augment.RandAugment — the reference's
+    --isrand_aug transform, dataset.py:261-345) applied before collation."""
     collate = collate or AlignCollate()
     T = char_codec.max_tokens
     while True:
         samples = mixer.get_batch()
+        if augment is not None:
+            samples = [(augment(img), lab) for img, lab in samples]
         images, labels = collate(samples)
         _, char_ids = char_codec.encode(labels)
         B = len(labels)
@@ -52,12 +57,16 @@ def lister_batches(
     mixer: BalancedMixer,
     codec,
     collate: Optional[ListerCollate] = None,
+    augment: Optional[Callable] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """LISTER batches: images_u8 + validity mask + EOS-seq labels
-    (train_dist.py batch loop; labels are chars + EOS(0), zero-padded)."""
+    (train_dist.py batch loop; labels are chars + EOS(0), zero-padded).
+    `augment`: per-image callable applied before collation."""
     collate = collate or ListerCollate()
     while True:
         samples = mixer.get_batch()
+        if augment is not None:
+            samples = [(augment(img), lab) for img, lab in samples]
         images, mask, labels = collate(samples)
         ids, lens = codec.encode(labels)
         yield {"images": images, "mask": mask,

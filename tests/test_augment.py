@@ -97,3 +97,51 @@ class TestTPSWarp:
         col_means = out[:, :, 0].mean(axis=0)
         # center columns sample lower (brighter) source rows than edges
         assert abs(float(col_means[64]) - float(col_means[2])) > 5.0
+
+
+class TestRandAugmentNumpy:
+    """RandAugment accepts HWC uint8 numpy (the dataset sample format) and
+    is deterministic under a seed — the form engine.batches feeds it."""
+
+    def test_numpy_roundtrip_and_determinism(self):
+        from advancedliteratemachinery_tpu.data.augment import RandAugment
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (32, 100, 3), np.uint8)
+        a1 = RandAugment(num_groups=2, intact_prob=0.0, seed=7)
+        a2 = RandAugment(num_groups=2, intact_prob=0.0, seed=7)
+        o1, o2 = a1(img.copy()), a2(img.copy())
+        assert isinstance(o1, np.ndarray) and o1.dtype == np.uint8
+        assert o1.shape[-1] == 3
+        np.testing.assert_array_equal(o1, o2)
+        assert not np.array_equal(o1, img)  # something was applied
+
+    def test_intact_prob_one_is_identity(self):
+        from advancedliteratemachinery_tpu.data.augment import RandAugment
+        img = np.random.default_rng(1).integers(0, 255, (32, 100, 3),
+                                                np.uint8)
+        out = RandAugment(intact_prob=1.0, seed=0)(img.copy())
+        np.testing.assert_array_equal(out, img)
+
+    def test_batches_apply_augment(self):
+        from advancedliteratemachinery_tpu.engine import batches as B
+        from advancedliteratemachinery_tpu.data.str_dataset import (
+            AlignCollate)
+        from advancedliteratemachinery_tpu.codecs.char_codec import CharCodec
+
+        class FakeMixer:
+            def __init__(self):
+                self.rng = np.random.default_rng(0)
+
+            def get_batch(self):
+                return [(self.rng.integers(0, 255, (32, 100, 3), np.uint8),
+                         "ab") for _ in range(4)]
+
+        from advancedliteratemachinery_tpu.data.augment import RandAugment
+        codec = CharCodec(batch_max_length=6)
+        plain = next(B.mgp_str_batches(FakeMixer(), codec,
+                                       collate=AlignCollate()))
+        auged = next(B.mgp_str_batches(
+            FakeMixer(), codec, collate=AlignCollate(),
+            augment=RandAugment(intact_prob=0.0, seed=3)))
+        assert plain["images"].shape == auged["images"].shape
+        assert not np.array_equal(plain["images"], auged["images"])
