@@ -97,3 +97,27 @@ def ntED(pred: Dict[str, Any], answer: Dict[str, Any]) -> float:
     if denom == 0:
         return 1.0 if tree_edit_distance(pred_tree, gt_tree) == 0 else 0.0
     return max(0.0, 1.0 - tree_edit_distance(pred_tree, gt_tree) / denom)
+
+
+def vie_entities_to_dict(entities: List[Dict[str, Any]]) -> Dict[str, List[str]]:
+    """OmniParser VIE entities (eval.spotting_eval.decode_vie_outputs
+    output: {"text", "class", ...}) → a Donut-style {class: [texts]} dict
+    for field_f1 / ntED. Repeated classes accumulate in reading order,
+    matching the reference's per-class-token result rows
+    (transformer.py:205-210)."""
+    out: Dict[str, List[str]] = {}
+    for e in entities:
+        out.setdefault(e["class"], []).append(e["text"])
+    return out
+
+
+def evaluate_vie(pred_entities: Dict[str, List[Dict[str, Any]]],
+                 answers: Dict[str, Dict[str, Any]]) -> Dict[str, float]:
+    """Dataset-level VIE scoring: micro field F1 + mean nTED accuracy over
+    images (the reference reports CORD/SROIE "F1" and "Acc" — F1 from
+    field matching, Acc the Donut tree accuracy)."""
+    preds = {k: vie_entities_to_dict(v) for k, v in pred_entities.items()}
+    f1 = field_f1(preds, answers)
+    accs = [ntED(preds.get(k, {}), v) for k, v in answers.items()]
+    acc = sum(accs) / len(accs) if accs else 0.0
+    return {"field_f1": f1, "ntED_acc": acc}

@@ -175,3 +175,39 @@ class TestLoreMetrics:
         gt_ax = [[0, 0, 0, 0], [1, 1, 2, 2]]
         pr_ax = [[0, 0, 0, 0], [1, 1, 2, 3]]  # second wrong
         assert logical_accuracy(pr_r, pr_ax, gt_r, gt_ax) == pytest.approx(0.5)
+
+
+class TestVIEEvaluation:
+    def test_entities_to_dict_accumulates(self):
+        from advancedliteratemachinery_tpu.eval.kie_metrics import (
+            vie_entities_to_dict)
+        ents = [{"text": "a", "class": "menu.nm"},
+                {"text": "b", "class": "menu.price"},
+                {"text": "c", "class": "menu.nm"}]
+        assert vie_entities_to_dict(ents) == {
+            "menu.nm": ["a", "c"], "menu.price": ["b"]}
+
+    def test_evaluate_vie_perfect_and_partial(self):
+        from advancedliteratemachinery_tpu.eval.kie_metrics import (
+            evaluate_vie)
+        gt = {"img0": {"company": ["Acme"], "total": ["9.99"]}}
+        perfect = {"img0": [{"text": "Acme", "class": "company"},
+                            {"text": "9.99", "class": "total"}]}
+        m = evaluate_vie(perfect, gt)
+        assert m["field_f1"] == pytest.approx(1.0, abs=1e-4)
+        assert m["ntED_acc"] == pytest.approx(1.0)
+        # one of two fields right: tp=1, fn_or_fp = 1 (bad pred) + 1
+        # (missed gt) → f1 = 1 / (1 + 1) = 0.5
+        half = {"img0": [{"text": "Acme", "class": "company"},
+                         {"text": "0.00", "class": "total"}]}
+        m = evaluate_vie(half, gt)
+        assert m["field_f1"] == pytest.approx(0.5, abs=1e-4)
+        assert 0.0 < m["ntED_acc"] < 1.0
+
+    def test_missing_image_scores_zero(self):
+        from advancedliteratemachinery_tpu.eval.kie_metrics import (
+            evaluate_vie)
+        gt = {"img0": {"company": ["Acme"]}}
+        m = evaluate_vie({}, gt)
+        assert m["field_f1"] == pytest.approx(0.0, abs=1e-4)
+        assert m["ntED_acc"] == pytest.approx(0.0)
