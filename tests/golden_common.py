@@ -32,7 +32,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 FAMILIES = ("mgp_str", "lister", "levocr", "lore", "omniparser",
-            "webrpg_vae", "gem_markuplm", "docxlayout")
+            "webrpg_vae", "gem_markuplm", "docxlayout",
+            "vlpt", "vgt", "lvtr")
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "golden")
 
@@ -242,15 +243,95 @@ def run_docxlayout(sd, inputs):
     return {h: np.asarray(got[h]) for h, _ in M.HEADS}
 
 
+def run_vlpt(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_vlpt_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import import_vlpt
+    from advancedliteratemachinery_tpu.models.vlpt import VLPT, VLPTConfig
+
+    cfg = VLPTConfig(embed_dim=M.D, vocab_size=M.VOCAB, max_text_len=M.TLEN,
+                     image_size=M.IMG, image_depth=1, text_depth=1,
+                     co_depth=1, heads=M.HEADS, fpn_dim=M.BASE * 4,
+                     resnet_base=M.BASE, resnet_blocks=(1, 1, 1, 1),
+                     false_text_length=4)
+    model = VLPT(cfg, policy=FP32_POLICY)
+    ids = jnp.asarray(inputs["text_ids"])
+    batch = {
+        "image": jnp.asarray(inputs["image"]),
+        "text_ids": ids,
+        "text_ids_mlm": ids,
+        "text_labels_mlm": jnp.full(ids.shape, -100, jnp.int32),
+        "text_masks": jnp.ones(ids.shape, jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    variables = import_vlpt(sd, _j(variables))
+    got = model.apply(variables, batch)
+    return {k: np.asarray(got[k])
+            for k in ("mlm_logits", "text_feats", "image_feats")}
+
+
+def run_vgt(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_vgt_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import import_vgt
+    from advancedliteratemachinery_tpu.models.vgt import (
+        VGTBackbone, VGTConfig)
+
+    cfg = VGTConfig(img_size=(64, 64), patch_size=16, embed_dim=M.D,
+                    self_depth=M.DEPTH, cross_depth=0, num_heads=M.H,
+                    grid_embedding_dim=M.GDIM, vocab_size=M.VOCAB,
+                    out_indices=M.OUT_IDX, fpn_dim=M.FPN_DIM)
+    model = VGTBackbone(cfg, policy=FP32_POLICY)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           jnp.zeros((1, 64, 64), jnp.int32))
+    variables = import_vgt(sd, _j(variables))
+    got = model.apply(variables, jnp.asarray(inputs["image"]),
+                      jnp.asarray(inputs["grid"]))
+    return {k: np.asarray(got[k]) for k in ("p2", "p3", "p4", "p5", "p6")}
+
+
+def run_lvtr(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_lvtr_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import import_lvtr
+    from advancedliteratemachinery_tpu.models.lvtr import LVTRDalleUnet
+
+    model = LVTRDalleUnet(M._cfg(), policy=FP32_POLICY)
+    conds = {k[5:]: jnp.asarray(v) for k, v in inputs.items()
+             if k.startswith("cond_")}
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(inputs["x"]),
+        jnp.asarray(inputs["t"]), jnp.asarray(inputs["image_embed"]),
+        jnp.asarray(inputs["text"]), conds)["params"]
+    params = import_lvtr(sd, jax.tree.map(np.asarray, params))
+    out = model.apply({"params": params}, jnp.asarray(inputs["x"]),
+                      jnp.asarray(inputs["t"]),
+                      jnp.asarray(inputs["image_embed"]),
+                      jnp.asarray(inputs["text"]), conds)
+    return {"eps_var": np.asarray(out)}
+
+
 RUNNERS = {"mgp_str": run_mgp_str, "lister": run_lister,
            "levocr": run_levocr, "lore": run_lore,
            "omniparser": run_omniparser, "webrpg_vae": run_webrpg_vae,
-           "gem_markuplm": run_gem_markuplm, "docxlayout": run_docxlayout}
+           "gem_markuplm": run_gem_markuplm, "docxlayout": run_docxlayout,
+           "vlpt": run_vlpt, "vgt": run_vgt, "lvtr": run_lvtr}
 
 TOLERANCES = {"mgp_str": (2e-4, 2e-4), "lister": (1e-5, 1e-5),
               "levocr": (3e-3, 3e-3), "lore": (2e-3, 2e-3),
               "omniparser": (2e-3, 2e-3), "webrpg_vae": (1e-4, 1e-4),
-              "gem_markuplm": (2e-3, 2e-3), "docxlayout": (2e-3, 2e-3)}
+              "gem_markuplm": (2e-3, 2e-3), "docxlayout": (2e-3, 2e-3),
+              "vlpt": (5e-3, 5e-3), "vgt": (2e-3, 2e-3),
+              "lvtr": (2e-3, 2e-3)}
 
 
 # ---------------- per-family: torch artifact + expected outputs ----------------
@@ -440,5 +521,49 @@ def build(family):
         expected = {h: want[h].numpy().transpose(0, 2, 3, 1)
                     for h, _ in M.HEADS}
         return dict(tm.state_dict()), {"image": img}, expected, "torch"
+
+    if family == "vlpt":
+        import test_vlpt_import as M
+
+        torch.manual_seed(0)
+        tm = M.TVLPT().eval()
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((2, M.IMG, M.IMG, 3)).astype(np.float32)
+        ids = rng.integers(4, M.VOCAB, (2, M.TLEN))
+        with torch.no_grad():
+            tout = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                      torch.from_numpy(ids), torch.ones(2, M.TLEN))
+        expected = {k: tout[k].numpy()
+                    for k in ("mlm_logits", "text_feats", "image_feats")}
+        inputs = {"image": img, "text_ids": ids.astype(np.int32)}
+        return dict(tm.state_dict()), inputs, expected, "torch"
+
+    if family == "vgt":
+        import test_vgt_import as M
+
+        torch.manual_seed(0)
+        tm = M.TVGT().eval()
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        grid = rng.integers(0, M.VOCAB, (2, 64, 64))
+        with torch.no_grad():
+            want = tm(torch.from_numpy(img).permute(0, 3, 1, 2),
+                      torch.from_numpy(grid))
+        expected = {k: want[k].permute(0, 2, 3, 1).numpy()
+                    for k in ("p2", "p3", "p4", "p5", "p6")}
+        inputs = {"image": img, "grid": grid.astype(np.int32)}
+        return dict(tm.state_dict()), inputs, expected, "torch"
+
+    if family == "lvtr":
+        import test_lvtr_import as M
+
+        torch.manual_seed(0)
+        tm = M.MUnet().eval()
+        iv = M._inputs(1)
+        expected = {"eps_var": M._torch_fwd(tm, iv)}
+        inputs = {k: v for k, v in iv.items() if k != "conditions"}
+        inputs.update({f"cond_{k}": v for k, v in iv["conditions"].items()})
+        sd = {"unets.0." + k: v for k, v in tm.state_dict().items()}
+        return sd, inputs, expected, "torch"
 
     raise KeyError(family)
