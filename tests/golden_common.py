@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 FAMILIES = ("mgp_str", "lister", "levocr", "lore", "omniparser",
             "webrpg_vae", "gem_markuplm", "docxlayout",
-            "vlpt", "vgt", "lvtr")
+            "vlpt", "vgt", "lvtr", "trcg", "fid_web", "geolayoutlm")
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "golden")
 
@@ -320,18 +320,81 @@ def run_lvtr(sd, inputs):
     return {"eps_var": np.asarray(out)}
 
 
+def run_trcg(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_trcg_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import import_trcg
+    from advancedliteratemachinery_tpu.models.trcg import TRCG
+
+    model = TRCG(M._flax_cfg(), policy=FP32_POLICY)
+    img = jnp.asarray(inputs["image"])
+    ids = jnp.asarray(inputs["ids"])
+    params = model.init(jax.random.PRNGKey(0), img, ids)["params"]
+    params = import_trcg(sd, params, n_heads=M.HEADS)
+    return {"logits": np.asarray(model.apply({"params": params}, img, ids))}
+
+
+def run_fid_web(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_fid_web_import as M
+
+    from advancedliteratemachinery_tpu.engine.checkpoint import import_fid_web
+
+    model = M._flax_model()
+    args = tuple(jnp.asarray(inputs[k]) for k in
+                 ("param_ids", "chrlen", "tags", "subs", "mask"))
+    variables = model.init(jax.random.PRNGKey(0), *args,
+                           jax.random.PRNGKey(1))
+    variables = import_fid_web(sd, dict(variables))
+    out = model.apply(variables, *args, jax.random.PRNGKey(1), sample=False)
+    return {"logits": np.asarray(out["output"]),
+            "pooled": np.asarray(out["hidden_state"])}
+
+
+def run_geolayoutlm(sd, inputs):
+    import jax
+    import jax.numpy as jnp
+    import test_geolayoutlm_import as M
+
+    from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+    from advancedliteratemachinery_tpu.engine.checkpoint import (
+        import_geolayoutlm_backbone)
+    from advancedliteratemachinery_tpu.models.bros import BrosTextEncoder
+    from advancedliteratemachinery_tpu.models.geolayoutlm import GeoLayoutLM
+
+    model = GeoLayoutLM(M.CFG, policy=FP32_POLICY)
+    batch = {k: jnp.asarray(v) for k, v in inputs.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    params = import_geolayoutlm_backbone(
+        sd, jax.tree.map(np.asarray, dict(variables))["params"])
+    enc = BrosTextEncoder(M.BROS, policy=FP32_POLICY)
+    text_enc, _ = enc.apply({"params": params["text_encoder"]},
+                            batch["input_ids"],
+                            batch["bbox_4p_normalized"],
+                            batch["attention_mask"],
+                            line_bbox=batch["bbox"])
+    return {"text_enc": np.asarray(text_enc)}
+
+
 RUNNERS = {"mgp_str": run_mgp_str, "lister": run_lister,
            "levocr": run_levocr, "lore": run_lore,
            "omniparser": run_omniparser, "webrpg_vae": run_webrpg_vae,
            "gem_markuplm": run_gem_markuplm, "docxlayout": run_docxlayout,
-           "vlpt": run_vlpt, "vgt": run_vgt, "lvtr": run_lvtr}
+           "vlpt": run_vlpt, "vgt": run_vgt, "lvtr": run_lvtr,
+           "trcg": run_trcg, "fid_web": run_fid_web,
+           "geolayoutlm": run_geolayoutlm}
 
 TOLERANCES = {"mgp_str": (2e-4, 2e-4), "lister": (1e-5, 1e-5),
               "levocr": (3e-3, 3e-3), "lore": (2e-3, 2e-3),
               "omniparser": (2e-3, 2e-3), "webrpg_vae": (1e-4, 1e-4),
               "gem_markuplm": (2e-3, 2e-3), "docxlayout": (2e-3, 2e-3),
               "vlpt": (5e-3, 5e-3), "vgt": (2e-3, 2e-3),
-              "lvtr": (2e-3, 2e-3)}
+              "lvtr": (2e-3, 2e-3), "trcg": (2e-3, 2e-3),
+              "fid_web": (2e-3, 2e-3), "geolayoutlm": (2e-3, 2e-3)}
 
 
 # ---------------- per-family: torch artifact + expected outputs ----------------
@@ -565,5 +628,63 @@ def build(family):
         inputs.update({f"cond_{k}": v for k, v in iv["conditions"].items()})
         sd = {"unets.0." + k: v for k, v in tm.state_dict().items()}
         return sd, inputs, expected, "torch"
+
+    if family == "trcg":
+        import test_trcg_import as M
+
+        torch.manual_seed(0)
+        tm = M.THFTrcg().eval()
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((2, M.IMG, M.IMG, 3)).astype(np.float32)
+        ids = rng.integers(0, M.VOCAB, (2, 5)).astype(np.int32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                      torch.from_numpy(ids.astype(np.int64))).numpy()
+        return (dict(tm.state_dict_hf()), {"image": img, "ids": ids},
+                {"logits": want}, "torch")
+
+    if family == "fid_web":
+        import test_fid_web_import as M
+
+        torch.manual_seed(0)
+        tm = M.TFidWeb().eval()
+        iv = M._inputs(0)
+        with torch.no_grad():
+            logits, pooled = tm(
+                torch.from_numpy(iv["param_ids"].astype(np.int64)),
+                torch.from_numpy(iv["chrlen"].astype(np.int64)),
+                torch.from_numpy(iv["tags"].astype(np.int64)),
+                torch.from_numpy(iv["subs"].astype(np.int64)),
+                torch.from_numpy(iv["mask"]))
+        return (dict(tm.state_dict()), iv,
+                {"logits": logits.numpy(), "pooled": pooled.numpy()},
+                "torch")
+
+    if family == "geolayoutlm":
+        import test_geolayoutlm_import as M
+
+        torch.manual_seed(0)
+        tm = M.TBackbone().eval()
+        rng = np.random.default_rng(0)
+        B, S, N = 2, 12, 3
+        inputs = {
+            "input_ids": rng.integers(0, 60, (B, S)).astype(np.int32),
+            "image": rng.integers(0, 255, (B, 64, 64, 3))
+            .astype(np.float32),
+            "bbox_4p_normalized": rng.random((B, S, 8)).astype(np.float32),
+            "bbox": np.sort(rng.integers(0, 500, (B, S, 2, 2)), axis=3)
+            .transpose(0, 1, 3, 2).reshape(B, S, 4).astype(np.int32),
+            "attention_mask": np.ones((B, S), np.float32),
+            "first_token_idxes": rng.integers(0, S, (B, N)).astype(np.int32),
+            "block_mask": np.ones((B, N), np.float32),
+        }
+        with torch.no_grad():
+            want = tm.text_encoder(
+                torch.from_numpy(inputs["input_ids"].astype(np.int64)),
+                torch.from_numpy(inputs["bbox_4p_normalized"]),
+                torch.from_numpy(inputs["bbox"].astype(np.int64)),
+                torch.from_numpy(inputs["attention_mask"])).numpy()
+        sd = {"geolayoutlm_model." + k: v for k, v in tm.state_dict().items()}
+        return sd, inputs, {"text_enc": want}, "torch"
 
     raise KeyError(family)
