@@ -106,6 +106,17 @@ def main():
         print(f"omniparser_spot: {ips:8.1f} pages/s ({ms:.1f} ms/page 640²,"
               f" full 3-stage decode)", flush=True)
 
+        # typical page: random weights never emit EOS, so the while_loop
+        # early exit can't fire above — re-jit with a 130-token pt budget
+        # (= a 64-instance page's worth of sequential ticks) to measure
+        # what a real page costs once EOS lands
+        cfg2 = OmniParserConfig(pt_seq_length=130)
+        m2 = OmniParser(cfg2)
+        f2 = jax.jit(lambda v, x: m2.apply(v, x, method=m2.infer_spotting))
+        ips, ms = bench(lambda: f2(v, x), sync, 1, iters=3)
+        print(f"omniparser_spot_64inst: {ips:8.1f} pages/s ({ms:.1f} "
+              f"ms/page, pt budget 130)", flush=True)
+
 
 if __name__ == "__main__":
     main()
