@@ -593,6 +593,18 @@ def _train_augment(args):
                        intact_prob=args.intact_prob, seed=args.seed)
 
 
+def cmd_preprocess_funsd(args) -> int:
+    """Raw FUNSD → GeoLayoutLM-preprocessed jsons (the reference's
+    preprocess/funsd_el/preprocess.py as a CLI; output feeds
+    `train geolayoutlm --train-data OUT/preprocessed`)."""
+    from advancedliteratemachinery_tpu.data.funsd import preprocess_funsd
+
+    written = preprocess_funsd(args.input_path, args.output_path,
+                               vocab_file=args.vocab)
+    print(json.dumps({k: len(v) for k, v in written.items()}))
+    return 0
+
+
 def cmd_train(args) -> int:
     """Launch (or resume) a training run from LMDB sources.
 
@@ -1191,6 +1203,14 @@ def main(argv=None) -> int:
     p.add_argument("--weighted", action="store_true",
                    help="sample-weighted overall score")
 
+    p = sub.add_parser("preprocess-funsd",
+                       help="raw FUNSD tree -> GeoLayoutLM-preprocessed "
+                            "page jsons (preprocess/funsd_el/preprocess.py)")
+    p.add_argument("input_path",
+                   help="FUNSD root (training_data/ + testing_data/)")
+    p.add_argument("output_path")
+    p.add_argument("--vocab", help="BERT vocab.txt (default: package asset)")
+
     p = sub.add_parser("create-lmdb",
                        help="build an STR LMDB from a `path\\tlabel` gt "
                             "file (create_lmdb_dataset.py)")
@@ -1232,6 +1252,7 @@ def main(argv=None) -> int:
             "structurize": cmd_structurize, "table": cmd_table,
             "convert": cmd_convert, "bench": cmd_bench, "train": cmd_train,
             "create-lmdb": cmd_create_lmdb, "eval": cmd_eval,
+            "preprocess-funsd": cmd_preprocess_funsd,
             "ccocr-eval": cmd_ccocr_eval, "eval-det": cmd_eval_det,
             "augment-preview": cmd_augment_preview,
             "serve": cmd_serve,

@@ -528,8 +528,11 @@ def vie_batches(
         for b in range(batch_size):
             page = dataset[int(rng.integers(0, len(dataset)))]
             meta = page.get("meta", {})
-            W = float(meta.get("width", 1000))
-            H = float(meta.get("height", 1000))
+            # both schemas: ours (width/height) and the reference
+            # preprocess.py output (imageSize.{width,height})
+            size = meta.get("imageSize", {})
+            W = float(meta.get("width", size.get("width", 1000)))
+            H = float(meta.get("height", size.get("height", 1000)))
             img_path = meta.get("image_path")
             if img_path and os.path.exists(img_path):
                 img = Image.open(img_path).convert("RGB").resize(
