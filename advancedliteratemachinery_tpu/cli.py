@@ -729,7 +729,15 @@ def cmd_train(args) -> int:
         from advancedliteratemachinery_tpu.models.omniparser import (
             OmniParser, OmniParserConfig)
 
-        cfg = OmniParserConfig(swin_variant=args.variant)
+        vie = args.task == "vie"
+        vie_classes = ()
+        if vie:
+            from advancedliteratemachinery_tpu.codecs.coords import (
+                CORD_CLASSES, SROIE_CLASSES)
+            vie_classes = (CORD_CLASSES if args.class_set == "cord"
+                           else SROIE_CLASSES)
+        cfg = OmniParserConfig(swin_variant=args.variant,
+                               vie_categories=len(vie_classes))
         v = cfg.vocab()
         model = OmniParser(cfg)
         size = args.image_size
@@ -744,12 +752,25 @@ def cmd_train(args) -> int:
             params = TORCH_IMPORTERS["omniparser"](
                 load_torch_state_dict(args.init_torch_ckpt),
                 jax.tree.map(np.asarray, params))
-        ds = CocoSpottingDataset(args.img_root or ".", args.train_data[0],
-                                 rec_length=cfg.rec_length)
-        batch_iter = B.omniparser_batches(
-            ds, v, args.batch_size, image_hw=(size, size),
-            max_pts=cfg.max_instances, poly_pts=cfg.poly_length // 2,
-            rec_length=cfg.rec_length, seed=args.seed)
+        if vie:
+            from advancedliteratemachinery_tpu.data.vie_spotting import (
+                CordLikeVieDataset)
+
+            ds = CordLikeVieDataset(
+                args.train_data[0], args.img_root or ".", vie_classes,
+                chars=v.chars, group_words=args.class_set == "cord")
+            batch_iter = B.omniparser_vie_batches(
+                ds, v, args.batch_size, image_hw=(size, size),
+                poly_pts=cfg.poly_length // 2, rec_length=cfg.rec_length,
+                seed=args.seed)
+        else:
+            ds = CocoSpottingDataset(args.img_root or ".",
+                                     args.train_data[0],
+                                     rec_length=cfg.rec_length)
+            batch_iter = B.omniparser_batches(
+                ds, v, args.batch_size, image_hw=(size, size),
+                max_pts=cfg.max_instances, poly_pts=cfg.poly_length // 2,
+                rec_length=cfg.rec_length, seed=args.seed)
         loss_fn, _ = B.omniparser_recipe_u8(model, v.padding_index)
         tx = make_optimizer(lr=args.lr, total_steps=args.steps,
                             grad_clip=0.1, weight_decay=1e-4,
@@ -1163,6 +1184,14 @@ def main(argv=None) -> int:
                    help="detection categories (vgt; PubLayNet=5)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient accumulation steps (optax.MultiSteps)")
+    p.add_argument("--task", default="spotting",
+                   choices=["spotting", "vie"],
+                   help="omniparser objective: text spotting (COCO json) "
+                        "or KIE over CORD-v2-style page jsons")
+    p.add_argument("--class-set", default="cord",
+                   choices=["cord", "sroie"],
+                   help="VIE label set + grouping (cord: entity groups; "
+                        "sroie: per-word class triplets)")
     p.add_argument("--rand-aug", action="store_true",
                    help="random augmentation (reference --isrand_aug; "
                         "mgp_str/lister)")

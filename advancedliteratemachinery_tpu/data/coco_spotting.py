@@ -119,3 +119,62 @@ def build_spotting_sequences(sample: Dict, vocab: CoordSeqVocab,
         else np.zeros((0, 2 * poly_pts), np.int64),
         "rec_seqs": sample["recog"][:max_pts],
     }
+
+
+def spatial_window_prompt(rng, pts: np.ndarray, n_bins: int = 1000,
+                          global_prob: float = 0.4):
+    """Training-time spatial window prompt + point filter (reference
+    collate_fn.py:46 get_spatial_window_prompt): 40% full window, 30% a
+    cell of a fixed grid partition, 30% a random rectangle. pts [N,2] bin
+    coords; a point is kept when start < p <= end on both axes."""
+    prob = rng.uniform()
+    if prob < global_prob:
+        sx, sy, ex, ey = 0, 0, n_bins - 1, n_bins - 1
+    elif prob < 0.7:
+        num_xs = [3, 3, 1, 3, 2, 2, 2, 1]
+        num_ys = [3, 1, 3, 2, 3, 2, 1, 2]
+        windows = []
+        for nx, ny in zip(num_xs, num_ys):
+            ix = min(n_bins // nx, n_bins - 1)
+            iy = min(n_bins // ny, n_bins - 1)
+            for i in range(nx):
+                for j in range(ny):
+                    windows.append([i * ix, j * iy,
+                                    min(i * ix + ix, n_bins - 1),
+                                    min(j * iy + iy, n_bins - 1)])
+        sx, sy, ex, ey = windows[int(rng.integers(0, len(windows)))]
+    else:
+        inter = n_bins // 3
+        sx = int(rng.integers(0, inter * 2 + 1))
+        sy = int(rng.integers(0, inter * 2 + 1))
+        rw = int(rng.integers(inter, n_bins))
+        rh = int(rng.integers(inter, n_bins))
+        ex, ey = min(sx + rw, n_bins - 1), min(sy + rh, n_bins - 1)
+    if len(pts):
+        valid = ((pts[:, 0] > sx) & (pts[:, 0] <= ex)
+                 & (pts[:, 1] > sy) & (pts[:, 1] <= ey))
+    else:
+        valid = np.zeros(0, bool)
+    return np.asarray([sx, sy, ex, ey], np.int64), valid
+
+
+def char_window_prompt(rng, first_chars: np.ndarray, num_chars: int,
+                       n_bins: int = 1000, global_prob: float = 0.4):
+    """Character-range window prompt + instance filter (collate_fn.py:85):
+    40% the full char range, else a random contiguous run of the sorted
+    first characters. first_chars [N] raw char-class ids."""
+    if len(first_chars):
+        if rng.uniform() < global_prob:
+            start, end = 0, num_chars
+        else:
+            chars = np.sort(first_chars)
+            n = len(chars)
+            min_num = int(rng.integers(min(3, n), n + 1))
+            si = int(rng.integers(0, n - min_num + 1))
+            start, end = int(chars[si]), int(chars[si + min_num - 1])
+    else:
+        start = int(rng.integers(0, num_chars + 1))
+        end = int(rng.integers(start, num_chars + 1))
+    valid = ((first_chars >= start) & (first_chars <= end)
+             if len(first_chars) else np.zeros(0, bool))
+    return np.asarray([start + n_bins, end + n_bins], np.int64), valid

@@ -122,17 +122,23 @@ def omniparser_batches(
     poly_pts: int = 16,
     rec_length: int = 25,
     seed: int = 0,
+    window_prompts: bool = True,
+    use_char_window: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """OmniParser spotting batches (reference main.py train loop over
     dataset/text_spotting.py): resized uint8 pages + teacher-forced
     pt/poly/rec sequences. Coordinate bins are resize-invariant (quantized
     against the ORIGINAL page size), so images can be resized freely.
 
-    Shapes per batch: images [B, H, W, 3] u8; pt [B, 2*max_pts+2];
-    poly [B, 2 + 2*poly_pts]; rec [B, 2 + 1 + rec_length]. One random
-    instance per page feeds the poly/rec tasks (the reference samples
-    instances similarly); prompt and pad positions carry padding_index in
-    the *_out targets so the CE ignores them.
+    With `window_prompts` (the reference default) the pt input begins with
+    a sampled spatial window prompt (+ char-range window) and only the
+    points inside the windows are targets (collate_fn.py:46/:85) — this is
+    what makes the eval-time full-window prompt in-distribution. Shapes
+    per batch: images [B, H, W, 3] u8; pt [B, P + 1 + 2*max_pts] where P
+    is the prompt length (0 when disabled); poly [B, 2 + 2*poly_pts];
+    rec [B, 2 + 1 + rec_length]. One random instance per page feeds the
+    poly/rec tasks; prompt and pad positions carry padding_index in the
+    *_out targets so the CE ignores them.
     """
     import os
 
@@ -140,12 +146,17 @@ def omniparser_batches(
 
     from advancedliteratemachinery_tpu.data.coco_spotting import (
         build_spotting_sequences,
+        char_window_prompt,
+        spatial_window_prompt,
     )
 
     rng = np.random.default_rng(seed)
     H, W = image_hw
     pad = vocab.padding_index
-    pt_L = 2 * max_pts + 2
+    nb = vocab.num_bins
+    n_chars = len(vocab.chars)
+    P = (4 + (2 if use_char_window else 0)) if window_prompts else 0
+    pt_L = P + 1 + 2 * max_pts + 1
     poly_L = 2 + 2 * poly_pts            # (cx cy sos p0..p_{2k-1})[:-1]
     rec_L = 2 + 1 + rec_length
 
@@ -174,10 +185,32 @@ def omniparser_batches(
                 pass                      # blank page still trains seqs
             seqs = build_spotting_sequences(s, vocab, max_pts=max_pts,
                                             poly_pts=poly_pts)
-            pt = seqs["pt_seq"][: pt_L - 1]
-            full = np.concatenate([[vocab.pt_sos_index], pt])
-            batch["pt_in"][b, : len(full) - 1] = full[:-1]
-            batch["pt_out"][b, : len(pt)] = pt
+            pt_body = seqs["pt_seq"][:-1]          # pairs, no eos
+            if window_prompts:
+                pts2 = pt_body.reshape(-1, 2)
+                wprompt, keep = spatial_window_prompt(rng, pts2, nb)
+                prompt = wprompt
+                if use_char_window:
+                    first = np.asarray(
+                        [r[0] if len(r) else n_chars + 1
+                         for r in seqs["rec_seqs"]], np.int64)[:len(pts2)]
+                    cprompt, ckeep = char_window_prompt(
+                        rng, first[keep], n_chars, nb)
+                    kept = pts2[keep][ckeep]
+                    prompt = np.concatenate([wprompt, cprompt])
+                else:
+                    kept = pts2[keep]
+                body = kept.reshape(-1)
+                full = np.concatenate(
+                    [prompt, [vocab.pt_sos_index], body])
+                batch["pt_in"][b, : len(full)] = full
+                out = np.concatenate([body, [vocab.pt_eos_index]])
+                batch["pt_out"][b, P: P + len(out)] = out
+            else:
+                pt = np.concatenate([pt_body, [vocab.pt_eos_index]])
+                full = np.concatenate([[vocab.pt_sos_index], pt])
+                batch["pt_in"][b, : len(full) - 1] = full[:-1]
+                batch["pt_out"][b, : len(pt)] = pt
 
             n = len(seqs["poly_seqs"])
             if n:
@@ -195,6 +228,97 @@ def omniparser_batches(
                 tgt = chars[: rec_length - 1] + [vocab.rec_eos_index]
                 rfull = np.concatenate(
                     [[cx, cy, vocab.rec_sos_index], tgt])
+                batch["rec_in"][b, : len(rfull) - 1] = rfull[:-1]
+                batch["rec_out"][b, 2: 2 + len(tgt)] = tgt
+        yield batch
+
+
+def omniparser_vie_batches(
+    dataset,
+    vocab,
+    batch_size: int,
+    image_hw: Tuple[int, int] = (640, 640),
+    max_pt_body: int = 96,
+    poly_pts: int = 16,
+    rec_length: int = 25,
+    seed: int = 0,
+    use_char_window: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """OmniParser VIE training batches (reference collate_fn.py:180-188
+    train_vie branch over cord.py/sroie.py datasets): the pt sequence is
+    the reading-order instance walk with class tokens
+    (data.vie_spotting.build_vie_pt_sequence) behind the FIXED full-window
+    prompt (the VIE branch does not sample windows); poly/rec teacher
+    forcing picks one random word per page, polygon linearly sampled from
+    its quad. Output keys match omniparser_batches so the same recipe and
+    fit driver run unchanged."""
+    import os
+
+    from PIL import Image
+
+    from advancedliteratemachinery_tpu.data.vie_spotting import (
+        build_vie_pt_sequence,
+        quad_polygon,
+    )
+
+    rng = np.random.default_rng(seed)
+    H, W = image_hw
+    pad = vocab.padding_index
+    nb = vocab.num_bins
+    n_chars = len(vocab.chars)
+    prompt = np.asarray(
+        [0, 0, nb - 1, nb - 1] + ([nb, nb + n_chars] if use_char_window
+                                  else []), np.int64)
+    P = len(prompt)
+    pt_L = P + 1 + max_pt_body + 1
+    poly_L = 2 + 2 * poly_pts
+    rec_L = 2 + 1 + rec_length
+
+    while True:
+        batch = {
+            "images": np.zeros((batch_size, H, W, 3), np.uint8),
+            "pt_in": np.full((batch_size, pt_L - 1), pad, np.int32),
+            "pt_out": np.full((batch_size, pt_L - 1), pad, np.int32),
+            "poly_in": np.full((batch_size, poly_L), pad, np.int32),
+            "poly_out": np.full((batch_size, poly_L), pad, np.int32),
+            "rec_in": np.full((batch_size, rec_L - 1), pad, np.int32),
+            "rec_out": np.full((batch_size, rec_L - 1), pad, np.int32),
+        }
+        for b in range(batch_size):
+            page = dataset[int(rng.integers(0, len(dataset)))]
+            path = os.path.join(page["image_folder"], page["file_name"])
+            try:
+                img = Image.open(path).convert("RGB").resize((W, H))
+                batch["images"][b] = np.asarray(img)
+            except FileNotFoundError:
+                pass
+
+            body = build_vie_pt_sequence(page, vocab,
+                                         max_tokens=max_pt_body)
+            full = np.concatenate([prompt, [vocab.pt_sos_index], body])
+            batch["pt_in"][b, : len(full)] = full
+            out = np.concatenate([body, [vocab.pt_eos_index]])
+            batch["pt_out"][b, P: P + len(out)] = out
+
+            if page["words"]:
+                h, w = page["orig_size"]
+                j = int(rng.integers(0, len(page["words"])))
+                word = page["words"][j]
+                cx = int(vocab.quantize(word["center"][0], w))
+                cy = int(vocab.quantize(word["center"][1], h))
+                poly = quad_polygon(np.asarray(word["quad"], np.float64),
+                                    pts_per_side=poly_pts // 2)
+                q = np.stack([vocab.quantize(poly[:, 0], w),
+                              vocab.quantize(poly[:, 1], h)],
+                             axis=1).reshape(-1)
+                pfull = np.concatenate([[cx, cy, vocab.poly_sos_index], q])
+                batch["poly_in"][b, : len(pfull) - 1] = pfull[:-1]
+                batch["poly_out"][b, 2: 2 + len(q)] = q
+
+                chars = [nb + int(i) for i in word["rec"]
+                         if int(i) <= n_chars]
+                tgt = chars[: rec_length - 1] + [vocab.rec_eos_index]
+                rfull = np.concatenate([[cx, cy, vocab.rec_sos_index], tgt])
                 batch["rec_in"][b, : len(rfull) - 1] = rfull[:-1]
                 batch["rec_out"][b, 2: 2 + len(tgt)] = tgt
         yield batch

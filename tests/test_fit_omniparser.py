@@ -57,7 +57,8 @@ class TestOmniParserBatches:
         it = B.omniparser_batches(ds, v, batch_size=2, image_hw=(64, 64),
                                   max_pts=cfg.max_instances,
                                   poly_pts=cfg.poly_length // 2,
-                                  rec_length=cfg.rec_length)
+                                  rec_length=cfg.rec_length,
+                                  window_prompts=False)
         b = next(it)
         assert b["images"].shape == (2, 64, 64, 3)
         assert b["images"].max() > 0                 # pages were loaded
