@@ -259,6 +259,60 @@ def cmd_table(args) -> int:
     return 0
 
 
+def cmd_vie(args) -> int:
+    """Key-information extraction over one page image: OmniParser VIE
+    decode → entity JSON (reference main.py --eval with --infer_vie +
+    engine/val.py:39-44 per-image json dump)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advancedliteratemachinery_tpu.codecs.coords import (
+        CORD_CLASSES, SROIE_CLASSES)
+    from advancedliteratemachinery_tpu.eval.spotting_eval import (
+        decode_vie_outputs)
+    from advancedliteratemachinery_tpu.models.omniparser import (
+        OmniParser, OmniParserConfig)
+
+    classes = CORD_CLASSES if args.class_set == "cord" else SROIE_CLASSES
+    cfg = OmniParserConfig(swin_variant=args.variant,
+                           vie_categories=len(classes))
+    v = cfg.vocab()
+    model = OmniParser(cfg)
+    size = args.image_size
+    seqs0 = {t: jnp.ones((1, 5), jnp.int32) for t in ("pt", "poly", "rec")}
+    variables = jax.jit(lambda k, x: model.init(k, x, seqs0))(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    if args.torch_ckpt:
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            TORCH_IMPORTERS, load_torch_state_dict)
+
+        variables = {"params": TORCH_IMPORTERS["omniparser"](
+            load_torch_state_dict(args.torch_ckpt),
+            jax.tree.map(np.asarray, variables["params"]))}
+    elif args.ckpt:
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            load_params_checkpoint)
+
+        variables = load_params_checkpoint(args.ckpt, variables)
+
+    image = _load_image(args.image)
+    orig_h, orig_w = image.shape[:2]
+    from PIL import Image as PILImage
+
+    resized = np.asarray(PILImage.fromarray(image).resize((size, size)),
+                         np.float32)
+    x = jnp.asarray(resized[None] / 255.0 * 2.0 - 1.0)
+    out = jax.jit(lambda vv, xx: model.apply(vv, xx,
+                                             method=model.infer_vie))(
+        variables, x)
+    out = {k: np.asarray(val) for k, val in out.items()}
+    entities = decode_vie_outputs(out, v, classes, (orig_h, orig_w))
+    print(json.dumps({"image": args.image, "entities": entities},
+                     indent=2, default=float))
+    return 0
+
+
 def _lore_table_fn(args):
     import jax
 
@@ -1124,6 +1178,18 @@ def main(argv=None) -> int:
                        help="write an overlay image (reference DocXChain "
                             "utilities/visualization.py)")
 
+    p = sub.add_parser("vie",
+                       help="key-information extraction (OmniParser VIE) "
+                            "→ entity JSON")
+    p.add_argument("image")
+    p.add_argument("--variant", default="base",
+                   choices=["tiny", "small", "base", "large"])
+    p.add_argument("--class-set", default="cord",
+                   choices=["cord", "sroie"])
+    p.add_argument("--image-size", type=int, default=640)
+    p.add_argument("--ckpt")
+    p.add_argument("--torch-ckpt")
+
     p = sub.add_parser("convert",
                        help="whole image/PDF document → per-page JSON")
     p.add_argument("document")
@@ -1279,6 +1345,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     return {"models": cmd_models, "recognize": cmd_recognize, "read": cmd_read,
             "structurize": cmd_structurize, "table": cmd_table,
+            "vie": cmd_vie,
             "convert": cmd_convert, "bench": cmd_bench, "train": cmd_train,
             "create-lmdb": cmd_create_lmdb, "eval": cmd_eval,
             "preprocess-funsd": cmd_preprocess_funsd,

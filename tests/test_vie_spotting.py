@@ -239,3 +239,40 @@ class TestVieTrainCLI:
                        "--steps", "2", "--log-interval", "1",
                        "--ckpt-dir", str(tmp_path / "run")])
         assert rc == 0
+
+
+class TestVieCLI:
+    def test_vie_command_outputs_entities(self, monkeypatch, tmp_path,
+                                          capsys):
+        from PIL import Image
+
+        import advancedliteratemachinery_tpu.models.omniparser as MO
+        from advancedliteratemachinery_tpu.models.swin import SwinConfig
+
+        img = tmp_path / "receipt.png"
+        Image.new("RGB", (80, 60), (240, 240, 240)).save(img)
+
+        orig = MO.OmniParserConfig
+        tiny_swin = SwinConfig(embed_dim=8, depths=(1, 1, 1, 1),
+                               num_heads=(1, 2, 2, 2), window_size=4,
+                               drop_path_rate=0.0)
+
+        def tiny_cfg(**kw):
+            kw.update(d_model=32, nhead=2, dec_layers=1, dim_feedforward=64,
+                      num_bins=50, max_position_embeddings=64,
+                      pt_seq_length=9, poly_length=8, rec_length=6,
+                      max_instances=4, drop_path_rate=0.0, swin=tiny_swin)
+            return orig(**kw)
+
+        monkeypatch.setattr(MO, "OmniParserConfig", tiny_cfg)
+
+        from advancedliteratemachinery_tpu import cli
+        rc = cli.main(["vie", str(img), "--class-set", "sroie",
+                       "--image-size", "64"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["image"] == str(img)
+        assert isinstance(out["entities"], list)
+        for e in out["entities"]:
+            assert e["class"] in ("company", "address", "date", "total")
+            assert len(e["rects"][0]) == 4
