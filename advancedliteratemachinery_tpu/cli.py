@@ -852,26 +852,42 @@ def cmd_train(args) -> int:
                 load_torch_state_dict(args.init_torch_ckpt),
                 jax.tree.map(np.asarray, dict(variables)))
             params, batch_stats = imported["params"], imported["batch_stats"]
-        datasets = [LmdbStrDataset(p, charset=charset, max_length=L)
-                    for p in args.train_data]
-        ratios = args.ratios or [1.0] * len(datasets)
-        mixer = BalancedMixer(datasets, ratios, args.batch_size,
-                              seed=args.seed)
-        batch_iter = B.levocr_batches(
-            mixer, d, vision_len=cfg.vision.max_length,
-            vision_classes=cfg.vision.num_classes, seed=args.seed)
-        loss_fn, _ = B.levocr_recipe_u8(model, cfg)
+        if args.task == "language":
+            # text-only pretraining of the LevT branch
+            # (train_language_dist.py): corpus lines + spelling mutation
+            from advancedliteratemachinery_tpu.data.text_corpus import (
+                TextCorpusDataset)
+
+            corpus = TextCorpusDataset(args.train_data[0], max_length=L)
+            batch_iter = B.levocr_text_batches(corpus, d, args.batch_size,
+                                               seed=args.seed)
+            loss_fn, _ = B.levocr_text_recipe(model, cfg)
+            batch_stats = None
+        else:
+            datasets = [LmdbStrDataset(p, charset=charset, max_length=L)
+                        for p in args.train_data]
+            ratios = args.ratios or [1.0] * len(datasets)
+            mixer = BalancedMixer(datasets, ratios, args.batch_size,
+                                  seed=args.seed)
+            batch_iter = B.levocr_batches(
+                mixer, d, vision_len=cfg.vision.max_length,
+                vision_classes=cfg.vision.num_classes, seed=args.seed)
+            loss_fn, _ = B.levocr_recipe_u8(model, cfg)
         tx = make_optimizer(lr=args.lr, total_steps=args.steps,
                             grad_clip=5.0, warmup_steps=args.warmup_steps)
-        engine = LevOCRInference(model, {"params": params,
-                                         "batch_stats": batch_stats})
+        if args.task == "language":
+            eval_fn = None          # no vision path to benchmark
+        else:
+            engine = LevOCRInference(model, {"params": params,
+                                             "batch_stats": batch_stats})
 
-        def eval_fn(state):
-            v = {"params": state.params, "batch_stats": state.batch_stats}
-            return {"accuracy": benchmark_all_eval(
-                lambda imgs: engine.recognize(imgs, variables=v),
-                args.val_data, charset=charset, max_length=L,
-                batch_size=args.batch_size)["total_accuracy"]}
+            def eval_fn(state):
+                v = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+                return {"accuracy": benchmark_all_eval(
+                    lambda imgs: engine.recognize(imgs, variables=v),
+                    args.val_data, charset=charset, max_length=L,
+                    batch_size=args.batch_size)["total_accuracy"]}
 
     elif args.model == "geolayoutlm":
         from advancedliteratemachinery_tpu.engine.recipes import (
@@ -1251,9 +1267,11 @@ def main(argv=None) -> int:
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient accumulation steps (optax.MultiSteps)")
     p.add_argument("--task", default="spotting",
-                   choices=["spotting", "vie"],
+                   choices=["spotting", "vie", "language"],
                    help="omniparser objective: text spotting (COCO json) "
-                        "or KIE over CORD-v2-style page jsons")
+                        "or KIE over CORD-v2-style page jsons; for "
+                        "levocr, 'language' = text-only LevT pretraining "
+                        "over a line corpus (train_language_dist.py)")
     p.add_argument("--class-set", default="cord",
                    choices=["cord", "sroie"],
                    help="VIE label set + grouping (cord: entity groups; "

@@ -567,6 +567,75 @@ def levocr_batches(
         }
 
 
+def levocr_text_batches(
+    corpus,
+    dictionary,
+    batch_size: int,
+    mutation=None,
+    sub_prob: float = 0.2,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """LevOCR language-branch batches (train_language_dist.py:108-113):
+    corpus text → SpellingMutation roll-in → Levenshtein imitation
+    targets, no images and no vision targets."""
+    from advancedliteratemachinery_tpu.data.text_corpus import (
+        SpellingMutation)
+    from advancedliteratemachinery_tpu.models.levocr import BOS, EOS, PAD, UNK
+    from advancedliteratemachinery_tpu.ops.levenshtein import (
+        ins_del_targets,
+        ins_del_targets_native,
+    )
+
+    rng = np.random.default_rng(seed)
+    mutation = mutation or SpellingMutation(seed=seed)
+    n_toks = len(dictionary)
+    while True:
+        idx = rng.integers(0, len(corpus), batch_size)
+        labels = [corpus[int(i)] for i in idx]
+        noise = [mutation(t) for t in labels]
+        tgt = dictionary.encode(labels)
+        noised = dictionary.encode(noise)
+        res = ins_del_targets_native(noised, tgt, PAD, UNK)
+        if res is None:
+            res = ins_del_targets(noised, tgt, PAD, UNK)
+        masked, masked_tgt, ins_t, del_t = res
+        preds = tgt.copy()
+        inner = (preds != PAD) & (preds != BOS) & (preds != EOS)
+        subs = (rng.uniform(size=preds.shape) < sub_prob) & inner
+        preds[subs] = rng.integers(4, n_toks, subs.sum())
+        yield {
+            "noised_tokens": noised.astype(np.int32),
+            "masked_tgt_tokens": masked_tgt.astype(np.int32),
+            "word_predictions": preds.astype(np.int32),
+            "mask_ins_targets": ins_t.astype(np.int32),
+            "mask_ins_masks": (noised[:, 1:] != PAD),
+            "word_ins_targets": tgt.astype(np.int32),
+            "word_ins_masks": masked,
+            "word_del_targets": del_t.astype(np.int32),
+            "word_del_masks": (preds != PAD),
+        }
+
+
+def levocr_text_recipe(model, cfg) -> Tuple[Callable, Any]:
+    """Language-branch-only recipe: LevT dual-policy losses through
+    LevOCR.text_forward; the vision tower is never executed (reference
+    train_language_dist.py trains the same full model with only the LevT
+    branch receiving gradients). Non-mutable — no BatchNorm runs."""
+    from advancedliteratemachinery_tpu.engine.train import make_optimizer
+    from advancedliteratemachinery_tpu.models.levocr import LevOCR, levt_losses
+
+    def loss_fn(params, batch, rng):
+        res = model.apply(
+            {"params": params}, batch["noised_tokens"],
+            batch["masked_tgt_tokens"], batch["word_predictions"],
+            method=LevOCR.text_forward, rngs={"dropout": rng})
+        m = levt_losses(res, batch, cfg)
+        return m["loss"], m
+
+    return loss_fn, make_optimizer(lr=1e-4, total_steps=300_000,
+                                   grad_clip=5.0)
+
+
 def levocr_recipe_u8(model, cfg) -> Tuple[Callable, Any]:
     """levocr_recipe (mutable) with uint8 images normalized on device."""
     from advancedliteratemachinery_tpu.engine.recipes import levocr_recipe

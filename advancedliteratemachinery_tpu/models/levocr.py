@@ -289,6 +289,21 @@ class LevOCR(nn.Module):
         res["word_del_logits"] = self.decoder.word_del(text_feat_w, img_feature)
         return res
 
+    def text_forward(self, noised_tokens, masked_tgt_tokens,
+                     word_predictions_input) -> Dict[str, jnp.ndarray]:
+        """Language-branch-only forward (reference
+        train_language_dist.py:113: `model(None, text_levt_noise, None,
+        tgt_tokens, criterion)` — no image; the LevT heads fuse with
+        img_feature=None, so only the text encoder + decoder run)."""
+        res = {}
+        text_feat = self.text_encoder(noised_tokens)
+        res["mask_ins_logits"] = self.decoder.mask_ins(text_feat, None)
+        text_feat_m = self.text_encoder(masked_tgt_tokens)
+        res["word_ins_logits"] = self.decoder.word_ins(text_feat_m, None)
+        text_feat_w = self.text_encoder(word_predictions_input)
+        res["word_del_logits"] = self.decoder.word_del(text_feat_w, None)
+        return res
+
     def refine(self, images) -> Dict[str, jnp.ndarray]:
         """Full eval: vision prediction → max_iter+1 rounds of
         delete/insert/fill (forward_decoder, levenshtein_transformer.py:245).
@@ -389,13 +404,18 @@ def levt_losses(res: Dict[str, jnp.ndarray], targets: Dict[str, jnp.ndarray],
                                       cfg.label_smoothing)
     word_del, _ = smoothed_nll(res["word_del_logits"], targets["word_del_targets"],
                                targets["word_del_masks"], 0.0)
-    # vision CE (CrossEntropyLoss over charset ids, models.py:177)
-    vlogp = jax.nn.log_softmax(res["vision_logits"].astype(jnp.float32), -1)
-    vt = targets["vision_targets"].astype(jnp.int32)
-    vnll = -jnp.take_along_axis(vlogp, vt[..., None], axis=-1)[..., 0]
-    vision = jnp.mean(vnll)
-
-    total = mask_ins + word_ins + word_del + vision
-    return {"loss": total, "mask_ins_loss": mask_ins, "word_ins_loss": word_ins,
-            "word_del_loss": word_del, "vision_loss": vision,
-            "word_nll": word_nll}
+    out = {"mask_ins_loss": mask_ins, "word_ins_loss": word_ins,
+           "word_del_loss": word_del, "word_nll": word_nll}
+    total = mask_ins + word_ins + word_del
+    if "vision_logits" in res:
+        # vision CE (CrossEntropyLoss over charset ids, models.py:177);
+        # absent in the language-branch-only mode (train_language_dist.py)
+        vlogp = jax.nn.log_softmax(res["vision_logits"].astype(jnp.float32),
+                                   -1)
+        vt = targets["vision_targets"].astype(jnp.int32)
+        vnll = -jnp.take_along_axis(vlogp, vt[..., None], axis=-1)[..., 0]
+        vision = jnp.mean(vnll)
+        out["vision_loss"] = vision
+        total = total + vision
+    out["loss"] = total
+    return out
