@@ -1075,17 +1075,27 @@ def cmd_train(args) -> int:
         eval_fn = None
     elif args.model == "gem":
         from advancedliteratemachinery_tpu.engine.recipes import (
-            gem_swde_recipe,
+            gem_swde_recipe, gem_websrc_recipe,
         )
         from advancedliteratemachinery_tpu.models.gem import (
-            GEMConfig, GEMForSWDE)
+            GEMConfig, GEMForSWDE, GEMForWebSRC)
 
-        cfg = GEMConfig()
-        model = GEMForSWDE(cfg)
-        ds = B.GEMSwdeDataset(args.train_data[0])
-        batch_iter = B.gem_swde_batches(
-            ds, args.batch_size, xpath_depth=cfg.max_xpath_depth,
-            use_render_bbox=cfg.use_render_bbox, seed=args.seed)
+        websrc = args.task == "websrc"
+        if websrc:
+            cfg = GEMConfig(use_render_bbox=False)
+            model = GEMForWebSRC(cfg)
+            ds = B.GEMSwdeDataset(args.train_data[0])
+            batch_iter = B.gem_websrc_batches(
+                ds, args.batch_size, max_seq=min(384, cfg.max_position),
+                xpath_depth=cfg.max_xpath_depth, seed=args.seed)
+        else:
+            cfg = GEMConfig()
+            model = GEMForSWDE(cfg)
+            ds = B.GEMSwdeDataset(args.train_data[0])
+            batch_iter = B.gem_swde_batches(
+                ds, args.batch_size, max_seq=min(384, cfg.max_position),
+                xpath_depth=cfg.max_xpath_depth,
+                use_render_bbox=cfg.use_render_bbox, seed=args.seed)
         sample = jax.tree.map(jnp.asarray, next(batch_iter))
         params = model.init(jax.random.PRNGKey(args.seed), sample)["params"]
         if args.init_torch_ckpt:   # pretrained GEM/MarkupLM encoder
@@ -1096,7 +1106,8 @@ def cmd_train(args) -> int:
             params["gem"] = TORCH_IMPORTERS["gem_markuplm"](
                 load_torch_state_dict(args.init_torch_ckpt),
                 jax.tree.map(np.asarray, params["gem"]))
-        loss_fn, _ = gem_swde_recipe(model)
+        loss_fn, _ = (gem_websrc_recipe(model) if websrc
+                      else gem_swde_recipe(model))
         tx = make_optimizer(lr=args.lr, total_steps=args.steps,
                             grad_clip=1.0, warmup_steps=args.warmup_steps)
         eval_fn = None
@@ -1267,11 +1278,13 @@ def main(argv=None) -> int:
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient accumulation steps (optax.MultiSteps)")
     p.add_argument("--task", default="spotting",
-                   choices=["spotting", "vie", "language"],
+                   choices=["spotting", "vie", "language", "websrc"],
                    help="omniparser objective: text spotting (COCO json) "
                         "or KIE over CORD-v2-style page jsons; for "
                         "levocr, 'language' = text-only LevT pretraining "
-                        "over a line corpus (train_language_dist.py)")
+                        "over a line corpus (train_language_dist.py); for "
+                        "gem, 'websrc' = span-QA fine-tune instead of "
+                        "SWDE node classification")
     p.add_argument("--class-set", default="cord",
                    choices=["cord", "sroie"],
                    help="VIE label set + grouping (cord: entity groups; "

@@ -1118,6 +1118,44 @@ def gem_swde_batches(
         yield batch
 
 
+def gem_websrc_batches(
+    dataset: GEMSwdeDataset,
+    batch_size: int,
+    max_seq: int = 384,
+    xpath_depth: int = 50,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """WebSRC span-QA batches (reference run_websrc/run.py squad-style
+    features): rows additionally carry start_position/end_position token
+    indices; positions past max_seq clamp to 0 (the reference maps
+    truncated answers to the CLS index)."""
+    rng = np.random.default_rng(seed)
+    S, D = max_seq, xpath_depth
+    while True:
+        batch = {
+            "input_ids": np.zeros((batch_size, S), np.int32),
+            "attention_mask": np.zeros((batch_size, S), np.int32),
+            "xpath_tags_seq": np.zeros((batch_size, S, D), np.int32),
+            "xpath_subs_seq": np.zeros((batch_size, S, D), np.int32),
+            "start_positions": np.zeros((batch_size,), np.int32),
+            "end_positions": np.zeros((batch_size,), np.int32),
+        }
+        for b in range(batch_size):
+            r = dataset.rows[int(rng.integers(0, len(dataset)))]
+            n = min(len(r["input_ids"]), S)
+            batch["input_ids"][b, :n] = r["input_ids"][:n]
+            batch["attention_mask"][b, :n] = 1
+            tags = np.asarray(r["xpath_tags_seq"], np.int32)[:n, :D]
+            subs = np.asarray(r["xpath_subs_seq"], np.int32)[:n, :D]
+            batch["xpath_tags_seq"][b, :n, : tags.shape[1]] = tags
+            batch["xpath_subs_seq"][b, :n, : subs.shape[1]] = subs
+            sp = int(r.get("start_position", 0))
+            ep = int(r.get("end_position", 0))
+            batch["start_positions"][b] = sp if sp < n else 0
+            batch["end_positions"][b] = ep if ep < n else 0
+        yield batch
+
+
 def prefetch_batches(batches: Iterator[Dict[str, np.ndarray]],
                      size: int = 2,
                      sharding=None) -> Iterator[Any]:

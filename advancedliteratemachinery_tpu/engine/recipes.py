@@ -318,6 +318,34 @@ def gem_swde_recipe(model) -> Tuple[Callable, Any]:
 RECIPES["gem_swde"] = gem_swde_recipe
 
 
+def gem_websrc_recipe(model) -> Tuple[Callable, Any]:
+    """GEM WebSRC span QA (reference run_websrc/run.py: squad-style
+    start/end CE averaged, positions clamped to the sequence). batch: the
+    GEMEncoder dict + start_positions/end_positions [B]."""
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params}, batch,
+                          deterministic=False, rngs={"dropout": rng})
+
+        def ce(logits, pos):
+            S = logits.shape[-1]
+            pos = jnp.clip(pos, 0, S - 1)
+            mask = jnp.where(batch["attention_mask"] > 0, 0.0, -1e9)
+            logp = jax.nn.log_softmax(logits + mask, -1)
+            return -jnp.mean(jnp.take_along_axis(
+                logp, pos[:, None].astype(jnp.int32), -1)[:, 0])
+
+        loss = 0.5 * (ce(out["start_logits"], batch["start_positions"])
+                      + ce(out["end_logits"], batch["end_positions"]))
+        return loss, {"loss": loss}
+
+    return loss_fn, make_optimizer(lr=1e-5, total_steps=50_000,
+                                   grad_clip=1.0, warmup_steps=1_000)
+
+
+RECIPES["gem_websrc"] = gem_websrc_recipe
+
+
 def webrpg_vae_recipe(model, cfg) -> Tuple[Callable, Any]:
     """Stage-1 WebRPG: pretrain the element VAE alone (the reference
     trains it separately and the AR stage loads it frozen —

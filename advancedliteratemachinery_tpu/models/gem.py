@@ -90,6 +90,13 @@ class GEMEncoder(nn.Module):
         p = self.policy
         ids = batch["input_ids"]
         S = ids.shape[1]
+        if S > cfg.max_position:
+            # OOB rows of the position table would silently fill NaN
+            # (jnp.take fill semantics outside jit)
+            raise ValueError(
+                f"sequence length {S} exceeds max_position "
+                f"{cfg.max_position}; shorten the batch max_seq or grow "
+                f"the config")
         emb = nn.Embed(cfg.vocab_size, cfg.hidden_size, param_dtype=p.param_dtype,
                        name="word_embeddings")(ids)
         emb = emb + nn.Embed(cfg.max_position, cfg.hidden_size,
