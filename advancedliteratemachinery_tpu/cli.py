@@ -659,6 +659,43 @@ def cmd_preprocess_funsd(args) -> int:
     return 0
 
 
+def cmd_webrpg_cache(args) -> int:
+    """Tokenized page jsonl → WebRPG embedding-cache records (reference
+    create_webrpg_data_2.py; output feeds `train webrpg`)."""
+    from advancedliteratemachinery_tpu.data.webrpg_prep import (
+        build_webrpg_cache)
+
+    model = variables = None
+    if args.torch_ckpt:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            TORCH_IMPORTERS, load_torch_state_dict)
+        from advancedliteratemachinery_tpu.models.gem import (
+            GEMConfig, GEMEncoder)
+
+        cfg = GEMConfig(use_render_bbox=False)
+        model = GEMEncoder(cfg)
+        init_batch = {
+            "input_ids": jnp.zeros((1, 4), jnp.int32),
+            "attention_mask": jnp.ones((1, 4), jnp.int32),
+            "xpath_tags_seq": jnp.zeros((1, 4, cfg.max_xpath_depth),
+                                        jnp.int32),
+            "xpath_subs_seq": jnp.zeros((1, 4, cfg.max_xpath_depth),
+                                        jnp.int32),
+        }
+        variables = model.init(jax.random.PRNGKey(0), init_batch)
+        variables = {"params": TORCH_IMPORTERS["gem_markuplm"](
+            load_torch_state_dict(args.torch_ckpt),
+            jax.tree.map(np.asarray, variables["params"]))}
+    written = build_webrpg_cache(args.manifest, args.out_dir, model=model,
+                                 variables=variables, max_seq=args.max_seq)
+    print(json.dumps({"pages": len(written), "out_dir": args.out_dir}))
+    return 0
+
+
 def cmd_train(args) -> int:
     """Launch (or resume) a training run from LMDB sources.
 
@@ -1337,6 +1374,15 @@ def main(argv=None) -> int:
     p.add_argument("output_path")
     p.add_argument("--vocab", help="BERT vocab.txt (default: package asset)")
 
+    p = sub.add_parser("webrpg-cache",
+                       help="tokenized page jsonl -> WebRPG embedding "
+                            "cache .npz records (create_webrpg_data_2.py)")
+    p.add_argument("manifest")
+    p.add_argument("out_dir")
+    p.add_argument("--torch-ckpt",
+                   help="released MarkupLM checkpoint for the encoder")
+    p.add_argument("--max-seq", type=int, default=128)
+
     p = sub.add_parser("create-lmdb",
                        help="build an STR LMDB from a `path\\tlabel` gt "
                             "file (create_lmdb_dataset.py)")
@@ -1380,6 +1426,7 @@ def main(argv=None) -> int:
             "convert": cmd_convert, "bench": cmd_bench, "train": cmd_train,
             "create-lmdb": cmd_create_lmdb, "eval": cmd_eval,
             "preprocess-funsd": cmd_preprocess_funsd,
+            "webrpg-cache": cmd_webrpg_cache,
             "ccocr-eval": cmd_ccocr_eval, "eval-det": cmd_eval_det,
             "augment-preview": cmd_augment_preview,
             "serve": cmd_serve,
