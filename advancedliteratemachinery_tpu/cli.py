@@ -50,7 +50,45 @@ def cmd_models(args) -> int:
     print("models:  ", ", ".join(MODELS))
     print("codecs:  ", ", ".join(CODECS))
     print("modules: ", ", ".join(PIPELINE_MODULES))
+    if getattr(args, "cost", None):
+        _print_model_cost(args.cost, args.variant)
     return 0
+
+
+def _print_model_cost(name: str, variant: str) -> None:
+    """Params + estimated forward GFLOPs for one recognition model — the
+    reference's cost probes (MGP-STR test_final.py:391 get_flops, LISTER
+    model_cost.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from advancedliteratemachinery_tpu.utils.profiling import flops_estimate
+
+    if name == "mgp_str":
+        from advancedliteratemachinery_tpu.models.mgp_str import (
+            MGPSTR, MGPSTRConfig)
+
+        model = MGPSTR(MGPSTRConfig(variant=variant))
+        x = jnp.zeros((1, 32, 128, 3))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+        fwd = lambda p: model.apply({"params": p}, x)  # noqa: E731
+    elif name == "lister":
+        from advancedliteratemachinery_tpu.models.lister import (
+            LISTER, LISTERConfig)
+
+        model = LISTER(LISTERConfig(variant=variant))
+        x = jnp.zeros((1, 32, 128, 3))
+        mask = jnp.ones((1, 32, 128))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, mask)
+        fwd = lambda p: model.apply(p, x, mask)  # noqa: E731
+    else:
+        print(f"cost: unsupported model {name!r} (mgp_str, lister)")
+        return
+    n_params = sum(int(p.size) for p in jax.tree.leaves(params))
+    flops = flops_estimate(fwd, params)
+    print(f"cost[{name}-{variant}]: params={n_params / 1e6:.2f}M"
+          + (f"  fwd={flops / 1e9:.2f} GFLOPs (B=1 32x128)"
+             if flops else ""))
 
 
 def _mgp_engine(args):
@@ -1213,7 +1251,12 @@ def main(argv=None) -> int:
                                      description=__doc__.split("\n")[0])
     sub = parser.add_subparsers(dest="command", required=True)
 
-    sub.add_parser("models", help="list registered components")
+    p = sub.add_parser("models", help="list registered components")
+    p.add_argument("--cost", metavar="MODEL",
+                   help="also print params + forward GFLOPs for a "
+                        "recognition model (get_flops / model_cost.py)")
+    p.add_argument("--variant", default="tiny",
+                   choices=["tiny", "small", "base", "large"])
 
     for name, help_ in (("recognize",
                          "recognize word crops (MGP-STR/LISTER/LevOCR)"),):

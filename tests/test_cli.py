@@ -61,3 +61,11 @@ def test_augment_preview_writes_all_ops(tmp_path):
     from advancedliteratemachinery_tpu.data.augment import GROUPS
     n_ops = sum(len(v) for v in GROUPS.values())
     assert len(list(out_dir.glob("*.png"))) == n_ops
+
+
+def test_models_cost(capsys):
+    from advancedliteratemachinery_tpu import cli
+    rc = cli.main(["models", "--cost", "mgp_str", "--variant", "tiny"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "cost[mgp_str-tiny]" in out and "params=" in out
