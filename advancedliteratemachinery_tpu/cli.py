@@ -697,6 +697,20 @@ def cmd_preprocess_funsd(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export a jitted recognizer to a self-contained StableHLO artifact
+    (the TPU-native deployment analog of LiteWeightOCR's MNN export)."""
+    from advancedliteratemachinery_tpu.engine.export import export_recognizer
+
+    path, nbytes = export_recognizer(
+        args.model, args.variant, args.out, batch_size=args.batch_size,
+        ckpt=args.ckpt, torch_ckpt=args.torch_ckpt)
+    print(json.dumps({"artifact": path, "bytes": nbytes,
+                      "model": args.model, "variant": args.variant,
+                      "batch": args.batch_size}))
+    return 0
+
+
 def cmd_webrpg_cache(args) -> int:
     """Tokenized page jsonl → WebRPG embedding-cache records (reference
     create_webrpg_data_2.py; output feeds `train webrpg`)."""
@@ -1417,6 +1431,19 @@ def main(argv=None) -> int:
     p.add_argument("output_path")
     p.add_argument("--vocab", help="BERT vocab.txt (default: package asset)")
 
+    p = sub.add_parser("export",
+                       help="serialize a recognizer forward (weights "
+                            "embedded) to a portable StableHLO artifact "
+                            "— the MNN-export analog")
+    p.add_argument("out", help="output artifact path")
+    p.add_argument("--model", default="mgp_str",
+                   choices=["mgp_str", "lister"])
+    p.add_argument("--variant", default="base",
+                   choices=["tiny", "small", "base", "large"])
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--ckpt")
+    p.add_argument("--torch-ckpt")
+
     p = sub.add_parser("webrpg-cache",
                        help="tokenized page jsonl -> WebRPG embedding "
                             "cache .npz records (create_webrpg_data_2.py)")
@@ -1469,7 +1496,7 @@ def main(argv=None) -> int:
             "convert": cmd_convert, "bench": cmd_bench, "train": cmd_train,
             "create-lmdb": cmd_create_lmdb, "eval": cmd_eval,
             "preprocess-funsd": cmd_preprocess_funsd,
-            "webrpg-cache": cmd_webrpg_cache,
+            "webrpg-cache": cmd_webrpg_cache, "export": cmd_export,
             "ccocr-eval": cmd_ccocr_eval, "eval-det": cmd_eval_det,
             "augment-preview": cmd_augment_preview,
             "serve": cmd_serve,
