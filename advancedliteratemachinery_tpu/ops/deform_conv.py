@@ -66,7 +66,8 @@ def bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.nda
     return out.reshape(*out_shape, C)
 
 
-@partial(jax.jit, static_argnames=("stride", "padding", "dilation"))
+@partial(jax.jit, static_argnames=("stride", "padding", "dilation",
+                                   "per_tap"))
 def deform_conv2d(
     x: jnp.ndarray,
     offsets: jnp.ndarray,
@@ -76,9 +77,21 @@ def deform_conv2d(
     stride: int = 1,
     padding: int = 1,
     dilation: int = 1,
+    per_tap: bool = True,
 ) -> jnp.ndarray:
     """x [B,H,W,Cin]; offsets [B,Ho,Wo,K,2] (dy,dx); mask [B,Ho,Wo,K];
-    weights [kh,kw,Cin,Cout] → [B,Ho,Wo,Cout]."""
+    weights [kh,kw,Cin,Cout] → [B,Ho,Wo,Cout].
+
+    Two equivalent contractions:
+    - per_tap=True (default): out = Σ_k (gather_k(x)·m_k) @ W_k — one
+      [N, Cin] x [Cin, Cout] matmul per kernel tap, accumulated. Peak
+      intermediate is [B, Ho·Wo, Cin] (K× smaller than the im2col form);
+      each gather feeds its matmul directly, which XLA schedules without
+      materializing the full patch tensor. At LORE scale (192² neck maps,
+      C=256, K=9) the im2col buffer alone is hundreds of MB.
+    - per_tap=False: classic im2col — one [B·Ho·Wo, K·Cin] x
+      [K·Cin, Cout] matmul (mirrors dcn_v2_im2col_cuda.cu + gemm).
+    """
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = weights.shape
     K = kh * kw
@@ -97,12 +110,21 @@ def deform_conv2d(
     ys = base_y[None] + offsets[..., 0]
     xs = base_x[None] + offsets[..., 1]
 
-    patches = bilinear_gather(x, ys, xs)                 # [B,Ho,Wo,K,Cin]
-    patches = patches * mask[..., None].astype(patches.dtype)
-    patches = patches.reshape(B, Ho, Wo, K * Cin)
-
-    w2d = weights.reshape(K * Cin, Cout)
-    out = jnp.einsum("bhwk,kc->bhwc", patches, w2d.astype(patches.dtype))
+    if per_tap:
+        wk = weights.reshape(K, Cin, Cout)
+        out = jnp.zeros((B, Ho, Wo, Cout),
+                        jnp.promote_types(x.dtype, weights.dtype))
+        for k in range(K):
+            g = bilinear_gather(x, ys[..., k], xs[..., k])  # [B,Ho,Wo,Cin]
+            g = g * mask[..., k, None].astype(g.dtype)
+            out = out + jnp.einsum("bhwc,cd->bhwd", g,
+                                   wk[k].astype(g.dtype))
+    else:
+        patches = bilinear_gather(x, ys, xs)             # [B,Ho,Wo,K,Cin]
+        patches = patches * mask[..., None].astype(patches.dtype)
+        patches = patches.reshape(B, Ho, Wo, K * Cin)
+        w2d = weights.reshape(K * Cin, Cout)
+        out = jnp.einsum("bhwk,kc->bhwc", patches, w2d.astype(patches.dtype))
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

@@ -398,3 +398,46 @@ class TestCropRects:
             jnp.asarray(img), jnp.asarray(q), out_hw=(8, 16),
             dtype=jnp.float32, patch_hw=(16, 24)))
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestDeformConvPerTap:
+    """per_tap accumulation must equal the im2col contraction exactly —
+    same gathers, same math, different scheduling."""
+
+    def test_per_tap_equals_im2col(self):
+        import jax
+        import jax.numpy as jnp
+
+        from advancedliteratemachinery_tpu.ops.deform_conv import (
+            deform_conv2d)
+
+        rng = np.random.default_rng(0)
+        B, H, W, Cin, Cout = 2, 9, 11, 5, 7
+        x = jnp.asarray(rng.standard_normal((B, H, W, Cin)), jnp.float32)
+        offs = jnp.asarray(rng.uniform(-2, 2, (B, H, W, 9, 2)), jnp.float32)
+        mask = jnp.asarray(rng.uniform(0, 1, (B, H, W, 9)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((Cout,)), jnp.float32)
+        a = deform_conv2d(x, offs, mask, w, b, per_tap=True)
+        c = deform_conv2d(x, offs, mask, w, b, per_tap=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_per_tap_strided(self):
+        import jax.numpy as jnp
+
+        from advancedliteratemachinery_tpu.ops.deform_conv import (
+            deform_conv2d)
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 12, 12, 4)), jnp.float32)
+        Ho = Wo = 6
+        offs = jnp.asarray(rng.uniform(-1, 1, (1, Ho, Wo, 9, 2)),
+                           jnp.float32)
+        mask = jnp.ones((1, Ho, Wo, 9), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 4, 8)), jnp.float32)
+        a = deform_conv2d(x, offs, mask, w, stride=2, per_tap=True)
+        c = deform_conv2d(x, offs, mask, w, stride=2, per_tap=False)
+        assert a.shape == (1, 6, 6, 8)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-5)
