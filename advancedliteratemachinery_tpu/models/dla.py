@@ -183,10 +183,21 @@ class UpsampleBilinear(nn.Module):
     """Depthwise transposed conv, bilinear-initialized and trainable like the
     reference's ConvTranspose2d(o, o, 2f, stride=f, padding=f//2, groups=o)
     after fill_up_weights (pose_dla_dcn.py:372). Kernel layout [2f, 2f, C]
-    (one spatial kernel per channel, groups == channels)."""
+    (one spatial kernel per channel, groups == channels).
+
+    Two exact formulations of the same parameters:
+    - shuffle=True (default): phase decomposition — each of the f² output
+      phases is a depthwise 2x2-tap conv of the LOW-res input with a
+      strided slice of the kernel, interleaved by pixel shuffle. No
+      lhs-dilated conv (which lowers poorly on TPU — the same chain was
+      2/3 of the DB detector's time before its pixel-shuffle rewrite).
+    - shuffle=False: the literal lhs-dilated conv (kernel rotated 180°,
+      padding k-1-f//2), kept as the reference-shaped oracle.
+    """
 
     factor: int
     policy: Policy = DEFAULT_POLICY
+    shuffle: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -201,14 +212,35 @@ class UpsampleBilinear(nn.Module):
             np.tile(_bilinear_upsample_kernel(f)[:, :, None], (1, 1, shape[-1])),
             dtype)
         kernel = self.param("kernel", init, (k, k, C), self.policy.param_dtype)
-        # transposed conv == lhs-dilated conv with the kernel rotated 180° and
-        # padding (k-1-p) per side; torch pads p = f//2
         p = k - 1 - f // 2
-        w = jnp.flip(kernel, (0, 1))[:, :, None, :].astype(x.dtype)  # [k,k,1,C]
-        return jax.lax.conv_general_dilated(
-            x, w, window_strides=(1, 1), padding=[(p, p), (p, p)],
-            lhs_dilation=(f, f), feature_group_count=C,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        wflip = jnp.flip(kernel, (0, 1)).astype(x.dtype)        # [k, k, C]
+
+        if not self.shuffle:
+            w = wflip[:, :, None, :]                            # [k,k,1,C]
+            return jax.lax.conv_general_dilated(
+                x, w, window_strides=(1, 1), padding=[(p, p), (p, p)],
+                lhs_dilation=(f, f), feature_group_count=C,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        # out[f·i+r, f·j+s] touches only input taps ky ≡ (p-r) (mod f):
+        # a 2-tap depthwise conv per phase with the strided kernel slice,
+        # shifted by d0 = (r + ky0 - p)/f (integral by construction)
+        phases = []
+        for r in range(f):
+            ky0 = (p - r) % f
+            dy0 = (r + ky0 - p) // f
+            for s in range(f):
+                kx0 = (p - s) % f
+                dx0 = (s + kx0 - p) // f
+                sub = wflip[ky0::f, kx0::f, :]                  # [A,Ax,C]
+                pad_y = (-dy0, sub.shape[0] - 1 + dy0)
+                pad_x = (-dx0, sub.shape[1] - 1 + dx0)
+                phases.append(jax.lax.conv_general_dilated(
+                    x, sub[:, :, None, :], (1, 1), [pad_y, pad_x],
+                    feature_group_count=C,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        y = jnp.stack(phases, axis=3).reshape(B, H, W, f, f, C)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, f * H, f * W, C)
 
 
 class DeformUpBlock(nn.Module):

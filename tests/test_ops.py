@@ -441,3 +441,46 @@ class TestDeformConvPerTap:
         assert a.shape == (1, 6, 6, 8)
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestUpsampleShuffle:
+    """Phase-decomposed UpsampleBilinear must equal the literal
+    lhs-dilated transposed conv for every factor the DLA necks use."""
+
+    @pytest.mark.parametrize("f,H,W,C", [(2, 7, 9, 3), (4, 5, 6, 2),
+                                         (8, 3, 4, 1)])
+    def test_shuffle_equals_dilated(self, f, H, W, C):
+        import jax
+        import jax.numpy as jnp
+
+        from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+        from advancedliteratemachinery_tpu.models.dla import UpsampleBilinear
+
+        rng = np.random.default_rng(f)
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+        a_mod = UpsampleBilinear(factor=f, policy=FP32_POLICY, shuffle=True)
+        b_mod = UpsampleBilinear(factor=f, policy=FP32_POLICY, shuffle=False)
+        v = a_mod.init(jax.random.PRNGKey(0), x)
+        # randomize the (trainable) kernel so the test is not
+        # bilinear-symmetric by construction
+        kern = jax.random.normal(jax.random.PRNGKey(1),
+                                 v["params"]["kernel"].shape)
+        v = {"params": {"kernel": kern}}
+        a = a_mod.apply(v, x)
+        b = b_mod.apply(v, x)
+        assert a.shape == (2, f * H, f * W, C)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_flow_to_kernel(self):
+        import jax
+        import jax.numpy as jnp
+
+        from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+        from advancedliteratemachinery_tpu.models.dla import UpsampleBilinear
+
+        mod = UpsampleBilinear(factor=2, policy=FP32_POLICY)
+        x = jnp.ones((1, 4, 4, 2))
+        v = mod.init(jax.random.PRNGKey(0), x)
+        g = jax.grad(lambda p: mod.apply({"params": p}, x).sum())(v["params"])
+        assert float(jnp.abs(g["kernel"]).sum()) > 0
