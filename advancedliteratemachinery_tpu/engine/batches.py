@@ -1175,7 +1175,7 @@ def prefetch_batches(batches: Iterator[Dict[str, np.ndarray]],
     import queue
     import threading
 
-    import jax
+    from advancedliteratemachinery_tpu.parallel import multihost
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
     _END = object()
@@ -1184,7 +1184,9 @@ def prefetch_batches(batches: Iterator[Dict[str, np.ndarray]],
         try:
             for batch in batches:
                 if sharding is not None:
-                    batch = jax.device_put(batch, sharding)
+                    # pod-safe placement (make_array_from_process_local_data
+                    # on multi-process; plain device_put otherwise)
+                    batch = multihost.put_host_batch(batch, sharding)
                 q.put(batch)
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
             q.put((_END, e))

@@ -60,6 +60,8 @@ class FitConfig:
     profile_steps: int = 5         # steps traced (after a warmup step)
     prefetch: int = 2              # batches kept ahead on a loader thread
     #                                (0 = fetch inline, pre-round-3 behavior)
+    keep_last: int = 3             # step_N checkpoints retained (0 = all)
+    handle_sigterm: bool = True    # preemption: save + stop on SIGTERM
 
 
 @dataclasses.dataclass
@@ -92,28 +94,92 @@ def _state_payload(state) -> Dict[str, Any]:
 
 
 def save_train_state(ckpt_dir: str, state, step: int,
-                     name: Optional[str] = None) -> str:
-    """Save to `{ckpt_dir}/step_{step}` (or `{ckpt_dir}/{name}`)."""
+                     name: Optional[str] = None,
+                     process_index: Optional[int] = None,
+                     process_count: Optional[int] = None) -> str:
+    """Save to `{ckpt_dir}/step_{step}` (or `{ckpt_dir}/{name}`).
+
+    Preemption-safe (SURVEY §5 "design ckpt layer for preemption"):
+
+    - Orbax itself writes to a `*.orbax-checkpoint-tmp-*` sibling and
+      renames on commit, so a kill mid-write never leaves a half-written
+      directory under the final path (`latest_checkpoint_step` ignores the
+      tmp names).
+    - Named slots (best / preempt) are never rmtree'd before the
+      replacement exists: the new payload is committed to `{name}.new`,
+      the previous slot is moved to `{name}.old`, the new one renamed in,
+      and only then is the old slot deleted. `restore_train_state` falls
+      back to `{name}.old` for the one-rename crash window.
+    - On pods the Orbax save is collective (all processes call it with the
+      live sharded arrays); only process 0 performs the slot renames / GC.
+    """
     import shutil
+
+    from advancedliteratemachinery_tpu.parallel import multihost
 
     import orbax.checkpoint as ocp
 
+    pcount = multihost.process_count(process_count)
+    primary = multihost.is_primary(process_index)
     path = os.path.abspath(os.path.join(ckpt_dir, name or f"step_{step}"))
-    if os.path.exists(path):  # named slots (best/latest) are overwritten
-        shutil.rmtree(path)
-    payload = jax.device_get(_state_payload(state))
+
+    payload = _state_payload(state)
+    if pcount == 1:
+        # host copy: decouples the file write from donated device buffers
+        payload = jax.device_get(payload)
+
+    target = path if name is None else f"{path}.new"
+    if os.path.exists(target) and primary:
+        shutil.rmtree(target)  # stale .new from a crashed save
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, payload)
+        ckptr.save(target, payload, force=True)
+
+    if name is not None and primary:
+        old = f"{path}.old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(target, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
     return path
 
 
+def gc_checkpoints(ckpt_dir: str, keep_last: int,
+                   process_index: Optional[int] = None) -> None:
+    """Delete all but the newest `keep_last` step_N checkpoints.
+
+    Named slots (best/...) are untouched. keep_last <= 0 keeps everything.
+    """
+    import shutil
+
+    from advancedliteratemachinery_tpu.parallel import multihost
+
+    if keep_last <= 0 or not multihost.is_primary(process_index):
+        return
+    if not ckpt_dir or not os.path.isdir(ckpt_dir):
+        return
+    steps = sorted(int(m.group(1)) for d in os.listdir(ckpt_dir)
+                   if (m := _STEP_DIR.match(d)))
+    for s in steps[:-keep_last]:
+        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"),
+                      ignore_errors=True)
+
+
 def restore_train_state(path: str, state):
-    """Restore a state saved by save_train_state into `state`'s structure."""
+    """Restore a state saved by save_train_state into `state`'s structure.
+
+    Falls back to `{path}.old` when `path` is missing (the rename window
+    of a named-slot save interrupted between its two renames)."""
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)
+    if not os.path.exists(path) and os.path.exists(f"{path}.old"):
+        path = f"{path}.old"
     target = jax.device_get(_state_payload(state))
     with ocp.StandardCheckpointer() as ckptr:
-        got = ckptr.restore(os.path.abspath(path), target)
+        got = ckptr.restore(path, target)
     new = state.replace(step=got["step"], params=got["params"],
                         opt_state=got["opt_state"])
     if isinstance(state, MutableTrainState):
@@ -145,7 +211,10 @@ def fit(
     eval_fn(state) -> metrics dict; called every cfg.val_interval steps and
     once at the end; its cfg.best_key entry drives the `best` checkpoint.
     """
+    from advancedliteratemachinery_tpu.parallel import multihost
+
     mesh = mesh or create_mesh()
+    primary = multihost.is_primary()
     mutable = batch_stats is not None
     if mutable:
         state = MutableTrainState.create(params, batch_stats, tx)
@@ -180,13 +249,32 @@ def fit(
     log_file = None
     if cfg.ckpt_dir:
         os.makedirs(cfg.ckpt_dir, exist_ok=True)
-        log_file = open(os.path.join(cfg.ckpt_dir, "log_train.txt"), "a")
+        if primary:
+            # log-file I/O is process-0 only on pods (SURVEY §5: replace
+            # is_main_process() patterns with jax.process_index()==0)
+            log_file = open(os.path.join(cfg.ckpt_dir, "log_train.txt"), "a")
 
     def _log(msg: str) -> None:
-        log_fn(msg)
+        if primary:
+            log_fn(msg)
         if log_file:
             log_file.write(msg + "\n")
             log_file.flush()
+
+    # Preemption hook: SIGTERM (the TPU-VM/GKE eviction signal) requests a
+    # final checkpoint at the next step boundary instead of dying mid-save.
+    preempted = {"flag": False}
+    prev_sigterm = None
+    if cfg.handle_sigterm and cfg.ckpt_dir:
+        import signal
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread (e.g. test harness)
+            prev_sigterm = None
 
     logger = MetricLogger(print_fn=_log)
     history: List[Dict[str, float]] = []
@@ -222,7 +310,7 @@ def fit(
                      f"{cfg.profile_dir}")
             batch = next(batches)
             if bshard is not None:
-                batch = jax.device_put(batch, bshard)
+                batch = multihost.put_host_batch(batch, bshard)
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, sub)
             if profiling and step_no >= start_step + 1 + cfg.profile_steps:
@@ -246,17 +334,28 @@ def fit(
             if (cfg.save_interval and cfg.ckpt_dir
                     and step_no % cfg.save_interval == 0):
                 save_train_state(cfg.ckpt_dir, state, step_no)
+                gc_checkpoints(cfg.ckpt_dir, cfg.keep_last)
+            if preempted["flag"]:
+                save_train_state(cfg.ckpt_dir, state, step_no)
+                _log(f"[fit] SIGTERM: saved step_{step_no}, stopping")
+                break
 
-        if cfg.val_interval == 0 or step_no % cfg.val_interval != 0:
-            _run_eval(step_no)
-        if cfg.ckpt_dir and (cfg.save_interval == 0
-                             or step_no % cfg.save_interval != 0):
-            save_train_state(cfg.ckpt_dir, state, step_no)
+        if not preempted["flag"]:
+            if cfg.val_interval == 0 or step_no % cfg.val_interval != 0:
+                _run_eval(step_no)
+            if cfg.ckpt_dir and (cfg.save_interval == 0
+                                 or step_no % cfg.save_interval != 0):
+                save_train_state(cfg.ckpt_dir, state, step_no)
+                gc_checkpoints(cfg.ckpt_dir, cfg.keep_last)
     finally:
         if cfg.profile_dir and profiling:
             jax.profiler.stop_trace()
         if log_file:
             log_file.close()
+        if prev_sigterm is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_sigterm)
 
     return FitResult(state=state, history=history, best_metric=best,
                      steps_run=step_no - start_step,

@@ -84,9 +84,9 @@ def main():
     def mlp(x, w1, w2):
         return jax.nn.gelu(x @ w1) @ w2
 
-    t = timeit(mlp, x, w1, w2)
+    t = timeit(mlp, x, w1, w2)  # ms
     fl = 2 * T * (768 * 3072 * 2)
-    print(f"mlp (1 layer): {t:.3f} ms  ({fl / t / 1e9:.0f} GFLOP/s)",
+    print(f"mlp (1 layer): {t:.3f} ms  ({fl / (t * 1e6) / 1e3:.2f} TFLOP/s)",
           flush=True)
 
 

@@ -43,9 +43,14 @@ def main():
         print(f"B={B}: {B * iters / dt:.1f} img/s  ({dt / iters * 1000:.2f} ms/iter)",
               flush=True)
 
-    # fused decode vs plain run split at B=512
+    # fused decode vs plain run split at B=512 — jitted + normalized so it
+    # measures the same work _run pays (ADVICE r3: raw-uint8 eager probe
+    # was not comparable).
+    from advancedliteratemachinery_tpu.ops.image import normalize_crops
+
     ims = jnp.asarray(rng.integers(0, 256, (512, 32, 128, 3), np.uint8))
-    dec = engine._decode_all
+    dec = jax.jit(lambda p, x: engine._decode_all(
+        p, normalize_crops(x, dtype=engine.input_dtype)))
     out = dec(engine.params, ims)
     np.asarray(out["char_ids"])
     t0 = time.perf_counter()
