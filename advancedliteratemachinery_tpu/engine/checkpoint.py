@@ -1104,7 +1104,18 @@ def import_levt(sd: Dict[str, np.ndarray], params: Dict,
         i += 1
 
     de = out["decoder"]
+    # fairseq LevT ties decoder input/output embeddings: output_projection
+    # .weight IS embed_tokens.weight (levenshtein_transformer.py:122,:436),
+    # so the state dict carries both names for one tensor — consume both
+    # and verify the tie rather than silently skipping embed_tokens.
     de["word_emb_out"]["embedding"] = p["decoder.output_projection.weight"]
+    if "decoder.embed_tokens.weight" in p:
+        tied = p["decoder.embed_tokens.weight"]
+        if not np.array_equal(tied, de["word_emb_out"]["embedding"]):
+            raise ValueError(
+                "import_levt: decoder.embed_tokens.weight differs from "
+                "decoder.output_projection.weight — the reference always "
+                "ties them (share_decoder_input_output_embed)")
     de["mask_ins_emb"]["embedding"] = p["decoder.embed_mask_ins.weight"]
     de["word_del_emb"]["embedding"] = p["decoder.embed_word_del.weight"]
     de["type_emb"]["embedding"] = p["decoder.token_type_embeddings.weight"]
