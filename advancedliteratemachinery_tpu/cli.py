@@ -12,6 +12,7 @@ demo.py / example.py — SURVEY.md §1 "public interface") with one
   eval --data LMDB...          STR benchmark suite (per-set + weighted acc)
   eval-det DT.json GT.json     COCO-protocol detection mAP
   ccocr-eval INDEX PRED GT     CC-OCR LMM benchmark harness
+  ccocr-collect INDEX OUT      run a model over a CC-OCR tree → responses
   create-lmdb GT OUT           build an STR LMDB from path\\tlabel lines
   import-ckpt FAMILY PTH OUT   reference torch/safetensors → Orbax
   augment-preview IMG          per-op augmentation contact sheet
@@ -623,6 +624,113 @@ def cmd_ccocr_eval(args) -> int:
     out = evaluate_and_summary(index, responses, gts,
                                weighted=args.weighted)
     print(json.dumps(out, indent=2, default=float))
+    return 0
+
+
+def cmd_ccocr_collect(args) -> int:
+    """Prediction collection over a CC-OCR-format benchmark tree
+    (reference Benchmarks/CC-OCR/example.py): per released dataset, run a
+    model on each qa.jsonl entry and write the per-image response JSONs
+    that `ccocr-eval` consumes, with resume + parallel workers."""
+    import os
+
+    from advancedliteratemachinery_tpu.eval.ccocr_harness import (
+        collect_predictions,
+    )
+
+    spec = args.model
+    if spec == "dummy":
+        model_fn = lambda image_path, question: ""           # noqa: E731
+    elif spec == "pipeline":
+        from argparse import Namespace
+
+        from advancedliteratemachinery_tpu.pipelines.document import (
+            GeneralTextReading,
+        )
+        from advancedliteratemachinery_tpu.pipelines.modules import (
+            TextDetection,
+            TextRecognition,
+        )
+
+        sub = Namespace(model="mgp_str", variant="base",
+                        ckpt=getattr(args, "ckpt", None),
+                        torch_ckpt=None, charset=None, batch_max_length=25)
+        pipe = GeneralTextReading(TextDetection(_db_detect_fn(sub)),
+                                  TextRecognition(_rec_engine(sub).recognize))
+
+        def model_fn(image_path, question):
+            out = pipe(_load_image(image_path))
+            return "\n".join(inst.get("text", "")
+                             for inst in out.get("instances", []))
+    elif spec.startswith("import:"):
+        import importlib
+
+        mod_name, _, attr = spec[len("import:"):].rpartition(":")
+        model_fn = getattr(importlib.import_module(mod_name), attr)
+    else:
+        raise SystemExit(f"unknown --model {spec!r} (pipeline | dummy | "
+                         f"import:module:attr)")
+
+    with open(args.index, encoding="utf-8") as f:
+        index = json.load(f)
+    # reference path resolution: dataset base_dirs are relative to the
+    # index file's grandparent (example.py: dirname(dirname(index_path)))
+    base = args.base_dir or os.path.dirname(
+        os.path.dirname(os.path.abspath(args.index)))
+    stats = collect_predictions(
+        index, base_dir=base,
+        output_dir=args.output_dir, model_fn=model_fn,
+        model_name=args.model_name or args.model.replace(":", "_"),
+        workers=args.workers, resume=not args.no_resume)
+    print(json.dumps(stats, indent=2))
+    return 0
+
+
+def cmd_pdf_grid(args) -> int:
+    """PDF text layer → per-page VGT grid inputs (reference
+    DocumentUnderstanding/VGT/object_detection/create_grid_input.py:
+    pdfplumber extract_words → create_grid_dict → pkl per page). Here
+    the word extraction is the package's dependency-free PDF parser
+    (pipelines/pdf_text.py) and output is one .npz per page with the
+    same keys (input_ids, bbox_subword_list, texts, bbox_texts_list)
+    plus the page size for coordinate scaling."""
+    import os
+
+    import numpy as np
+
+    from advancedliteratemachinery_tpu.models.vgt import build_grid_input
+    from advancedliteratemachinery_tpu.pipelines.pdf_text import (
+        extract_pdf_page_sizes,
+        extract_pdf_words,
+    )
+
+    if args.vocab:
+        from advancedliteratemachinery_tpu.codecs.subword import (
+            WordpieceCodec)
+
+        tok = WordpieceCodec.from_file(args.vocab).encode_text
+        tokenize_fn = lambda texts: [tok(t) for t in texts]   # noqa: E731
+    else:
+        # vocab-free fallback: stable per-byte ids (grid geometry is
+        # exact; ids only need to be consistent for training)
+        tokenize_fn = lambda texts: [                          # noqa: E731
+            [200 + b for b in t.encode("utf-8")[:8]] or [0] for t in texts]
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    pages = extract_pdf_words(args.pdf)
+    sizes = extract_pdf_page_sizes(args.pdf)
+    stem = os.path.splitext(os.path.basename(args.pdf))[0]
+    for i, (words, (w, h)) in enumerate(zip(pages, sizes)):
+        grid = build_grid_input(words, tokenize_fn)
+        out = os.path.join(args.output_dir, f"{stem}_page_{i}.npz")
+        np.savez(out,
+                 input_ids=grid["input_ids"],
+                 bbox_subword_list=grid["bbox_subword_list"],
+                 texts=np.asarray(grid["texts"], dtype=object),
+                 bbox_texts_list=grid["bbox_texts_list"],
+                 page_size=np.asarray([w, h], np.float64))
+        print(f"{out}: {len(grid['texts'])} words, "
+              f"{len(grid['input_ids'])} tokens")
     return 0
 
 
@@ -1423,6 +1531,42 @@ def main(argv=None) -> int:
     p.add_argument("--weighted", action="store_true",
                    help="sample-weighted overall score")
 
+    p = sub.add_parser("ccocr-collect",
+                       help="run a model over a CC-OCR benchmark tree and "
+                            "write the per-image prediction dirs the "
+                            "harness consumes (reference example.py)")
+    p.add_argument("index", help="index JSON ([{dataset, group, base_dir, "
+                                 "release}])")
+    p.add_argument("output_dir")
+    p.add_argument("--model", default="pipeline",
+                   help="'pipeline' (this repo's general-text-reading "
+                        "stack), 'dummy' (empty responses; plumbing "
+                        "check), or 'import:module:attr' for any "
+                        "callable(image_path, question) -> text (the "
+                        "reference's dashscope/OpenAI callers are one "
+                        "import: away)")
+    p.add_argument("--model-name", default=None,
+                   help="output subdirectory name (default: --model)")
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--no-resume", action="store_true",
+                   help="recompute responses that already exist")
+    p.add_argument("--base-dir", default=None,
+                   help="benchmark root the index's base_dirs are relative "
+                        "to (default: the index file's grandparent, as in "
+                        "the reference)")
+    p.add_argument("--ckpt", default=None,
+                   help="Orbax checkpoint for --model pipeline")
+
+    p = sub.add_parser("pdf-grid",
+                       help="PDF text layer -> per-page VGT grid .npz "
+                            "(create_grid_input.py equivalent, "
+                            "dependency-free PDF parsing)")
+    p.add_argument("pdf")
+    p.add_argument("output_dir")
+    p.add_argument("--vocab", default=None,
+                   help="BERT vocab.txt for WordPiece ids (default: "
+                        "stable byte-level fallback ids)")
+
     p = sub.add_parser("preprocess-funsd",
                        help="raw FUNSD tree -> GeoLayoutLM-preprocessed "
                             "page jsons (preprocess/funsd_el/preprocess.py)")
@@ -1497,7 +1641,9 @@ def main(argv=None) -> int:
             "create-lmdb": cmd_create_lmdb, "eval": cmd_eval,
             "preprocess-funsd": cmd_preprocess_funsd,
             "webrpg-cache": cmd_webrpg_cache, "export": cmd_export,
-            "ccocr-eval": cmd_ccocr_eval, "eval-det": cmd_eval_det,
+            "ccocr-eval": cmd_ccocr_eval,
+            "ccocr-collect": cmd_ccocr_collect, "eval-det": cmd_eval_det,
+            "pdf-grid": cmd_pdf_grid,
             "augment-preview": cmd_augment_preview,
             "serve": cmd_serve,
             "import-ckpt": cmd_import_ckpt}[args.command](args)

@@ -190,3 +190,86 @@ def evaluate_and_summary(index: list, responses_by_dataset: Dict[str, Dict],
         all_info["_overall"] = {"score": overall, "datasets": len(scores),
                                 "weighted": weighted}
     return all_info
+
+
+# ---------------- prediction collection (reference example.py) ----------------
+
+
+def collect_predictions(
+    index: list,
+    base_dir: str,
+    output_dir: str,
+    model_fn: Callable[[str, str], str],
+    model_name: str = "local",
+    workers: int = 4,
+    resume: bool = True,
+) -> Dict[str, Dict[str, int]]:
+    """Run a model over a CC-OCR-format benchmark tree and write the
+    per-image response directories the evaluator harness consumes.
+
+    Parity target: Benchmarks/CC-OCR/example.py — per released dataset in
+    the index, read `<base_dir>/<dataset base_dir>/qa.jsonl` lines
+    ({"url", "prompt"}), call the model on (image_path, question), and
+    write `<output_dir>/<model_name>/<dataset>/<image name>.json` with
+    {image, question, model_name, response, time}; existing outputs are
+    skipped when `resume` (example.py `is_resume`). Failures are logged
+    and skipped (the reference prints and returns None), so a partial
+    pass can be re-run to fill gaps.
+
+    `model_fn(image_path, question) -> response text` is injected: the
+    reference's dashscope/OpenAI callers are network clients (zero-egress
+    here); local equivalents are the framework's own pipelines, or any
+    callable importable as `module:attr` (cli `ccocr-collect`).
+    Returns per-dataset {"total": N, "ok": n_written, "skipped": n_resume}.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    from urllib.parse import unquote, urlparse
+
+    stats: Dict[str, Dict[str, int]] = {}
+    for item in index:
+        if not item.get("release", True):
+            continue
+        name = item["dataset"]
+        data_dir = os.path.join(base_dir, item.get("base_dir", name))
+        qa_path = os.path.join(data_dir, "qa.jsonl")
+        if not os.path.exists(qa_path):
+            stats[name] = {"total": 0, "ok": 0, "skipped": 0,
+                           "missing_qa": 1}
+            continue
+        out_dir = os.path.join(output_dir, model_name, name)
+        os.makedirs(out_dir, exist_ok=True)
+
+        todo, skipped = [], 0
+        with open(qa_path, encoding="utf-8") as f:
+            for line in f:
+                rec = json.loads(line)
+                url, question = rec["url"], rec["prompt"]
+                fname = os.path.basename(unquote(urlparse(url).path)) + ".json"
+                out_path = os.path.join(out_dir, fname)
+                if resume and os.path.exists(out_path):
+                    skipped += 1
+                    continue
+                todo.append((os.path.join(data_dir, url), question, out_path))
+
+        def run_one(task):
+            image_path, question, out_path = task
+            try:
+                response = model_fn(image_path, question)
+            except Exception as e:   # noqa: BLE001 — example.py skips failures
+                print(f"--> error: skip {image_path}: {e}")
+                return 0
+            with open(out_path, "w", encoding="utf-8") as f:
+                json.dump({"image": image_path, "question": question,
+                           "model_name": model_name, "response": response,
+                           "time": time.time()},
+                          f, indent=2, ensure_ascii=False)
+            return 1
+
+        if workers > 1 and len(todo) > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                ok = sum(ex.map(run_one, todo))
+        else:
+            ok = sum(run_one(t) for t in todo)
+        stats[name] = {"total": len(todo) + skipped, "ok": ok,
+                       "skipped": skipped}
+    return stats
