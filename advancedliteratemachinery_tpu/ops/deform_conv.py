@@ -66,50 +66,13 @@ def bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.nda
     return out.reshape(*out_shape, C)
 
 
-@partial(jax.jit, static_argnames=("stride", "padding", "dilation",
-                                   "per_tap"))
-def deform_conv2d(
-    x: jnp.ndarray,
-    offsets: jnp.ndarray,
-    mask: jnp.ndarray,
-    weights: jnp.ndarray,
-    bias: Optional[jnp.ndarray] = None,
-    stride: int = 1,
-    padding: int = 1,
-    dilation: int = 1,
-    per_tap: bool = True,
-) -> jnp.ndarray:
-    """x [B,H,W,Cin]; offsets [B,Ho,Wo,K,2] (dy,dx); mask [B,Ho,Wo,K];
-    weights [kh,kw,Cin,Cout] → [B,Ho,Wo,Cout].
-
-    Two equivalent contractions:
-    - per_tap=True (default): out = Σ_k (gather_k(x)·m_k) @ W_k — one
-      [N, Cin] x [Cin, Cout] matmul per kernel tap, accumulated. Peak
-      intermediate is [B, Ho·Wo, Cin] (K× smaller than the im2col form);
-      each gather feeds its matmul directly, which XLA schedules without
-      materializing the full patch tensor. At LORE scale (192² neck maps,
-      C=256, K=9) the im2col buffer alone is hundreds of MB.
-    - per_tap=False: classic im2col — one [B·Ho·Wo, K·Cin] x
-      [K·Cin, Cout] matmul (mirrors dcn_v2_im2col_cuda.cu + gemm).
-    """
+def _dcn_gather_taps(x, ys, xs, mask, weights, per_tap: bool):
+    """Gather-based contraction (the original path): per-tap bilinear
+    gathers + matmuls, or classic im2col."""
     B, H, W, Cin = x.shape
-    kh, kw, _, Cout = weights.shape
-    K = kh * kw
-    Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
-    Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
-
-    oy = jnp.arange(Ho) * stride - padding
-    ox = jnp.arange(Wo) * stride - padding
-    kyy, kxx = jnp.meshgrid(jnp.arange(kh) * dilation, jnp.arange(kw) * dilation,
-                            indexing="ij")
-    base_y = oy[:, None, None] + kyy.reshape(-1)[None, None, :]   # [Ho,1,K]
-    base_x = ox[None, :, None] + kxx.reshape(-1)[None, None, :]   # [1,Wo,K]
-    base_y = jnp.broadcast_to(base_y, (Ho, Wo, K)).astype(offsets.dtype)
-    base_x = jnp.broadcast_to(base_x, (Ho, Wo, K)).astype(offsets.dtype)
-
-    ys = base_y[None] + offsets[..., 0]
-    xs = base_x[None] + offsets[..., 1]
-
+    K = mask.shape[-1]
+    Cout = weights.shape[-1]
+    Ho, Wo = ys.shape[1], ys.shape[2]
     if per_tap:
         wk = weights.reshape(K, Cin, Cout)
         out = jnp.zeros((B, Ho, Wo, Cout),
@@ -125,21 +88,362 @@ def deform_conv2d(
         patches = patches.reshape(B, Ho, Wo, K * Cin)
         w2d = weights.reshape(K * Cin, Cout)
         out = jnp.einsum("bhwk,kc->bhwc", patches, w2d.astype(patches.dtype))
+    return out
+
+
+def _dcn_windowed(x, offsets, mask, weights, padding: int, dilation: int,
+                  radius: int):
+    """Shift-select DCN (stride 1): exact bilinear sampling as a sum over
+    (2R+2)² statically shifted views of the zero-padded map.
+
+    TPU rationale: XLA's row-gather runs at ≲1% of HBM bandwidth on TPU
+    (measured — a single 192²x64 DCN layer cost ~50 ms as gathers), while
+    dense shifted multiply-accumulates are VPU work the compiler tiles and
+    fuses. Writing the sample of tap k at output index i as
+        Σ_s  cy_s(i)·cx_t(i) · x(i + s, i + t),
+    with one-hot separable coefficients
+        cy_s = [⌊ry⌋ == s]·(1-fy) + [⌊ry⌋ == s-1]·fy,  ry = kbase_y - pad + δy,
+    is exact whenever the integer displacement ⌊ry⌋ stays within the tap's
+    window s ∈ kbase + [-R, R+1] — i.e. offsets |δ| ≲ R, which holds for
+    trained DCNs (offset convs are zero-initialized; reference
+    dcn_v2_im2col_cuda.cu semantics, DCNv2/dcn_v2.py:15). Samples landing
+    OUTSIDE the image contribute zero in the reference (-1 < y < H guard);
+    here the zero padding reproduces that exactly, including samples so far
+    out they miss the window entirely (their one-hot coefficients are all
+    zero). The caller falls back to the gather path when an IN-image sample
+    overflows the window (`_dcn_window_overflow`), so the composition is
+    exact for all inputs.
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weights.shape
+    K = kh * kw
+    Ho = H + 2 * padding - dilation * (kh - 1)
+    Wo = W + 2 * padding - dilation * (kw - 1)
+    R = radius
+
+    kbase_y = [dilation * (k // kw) - padding for k in range(K)]
+    kbase_x = [dilation * (k % kw) - padding for k in range(K)]
+    # pad so every shifted view is a static in-bounds slice
+    s_min = min(kbase_y + kbase_x) - R
+    s_max = max(kbase_y + kbase_x) + R + 1
+    lo = -s_min
+    hi_y = max(s_max + Ho - H, 0)
+    hi_x = max(s_max + Wo - W, 0)
+    x_pad = jnp.pad(x, ((0, 0), (lo, hi_y), (lo, hi_x), (0, 0)))
+
+    wk = weights.reshape(K, Cin, Cout)
+    out = jnp.zeros((B, Ho, Wo, Cout),
+                    jnp.promote_types(x.dtype, weights.dtype))
+    for k in range(K):
+        # relative coords in f32 (exact integer add onto the raw offsets)
+        ry = offsets[..., k, 0].astype(jnp.float32) + kbase_y[k]
+        rx = offsets[..., k, 1].astype(jnp.float32) + kbase_x[k]
+        iy = jnp.floor(ry)
+        ix = jnp.floor(rx)
+        fy = ry - iy
+        fx = rx - ix
+        iy = iy.astype(jnp.int32)
+        ix = ix.astype(jnp.int32)
+        # a sample is handled here only when FULLY in-window in both dims
+        # (⌊δ⌋ ∈ [-R, R]); boundary floors (⌊δ⌋ = ±(R+1)) would otherwise
+        # contribute one partial corner and break the sparse-correction
+        # accounting — zero the whole sample instead (offender criterion)
+        valid = ((iy >= kbase_y[k] - R) & (iy <= kbase_y[k] + R)
+                 & (ix >= kbase_x[k] - R) & (ix <= kbase_x[k] + R)
+                 ).astype(fy.dtype)
+        # per-window-offset separable coefficients (2 nonzero each)
+        cys = []
+        cxs = []
+        for u in range(-R, R + 2):
+            s = u  # relative to kbase; absolute shift = kbase + u
+            cys.append((jnp.where(iy == kbase_y[k] + s, 1.0 - fy, 0.0)
+                        + jnp.where(iy == kbase_y[k] + s - 1, fy, 0.0))
+                       * valid)
+            cxs.append(jnp.where(ix == kbase_x[k] + s, 1.0 - fx, 0.0)
+                       + jnp.where(ix == kbase_x[k] + s - 1, fx, 0.0))
+        g = jnp.zeros((B, Ho, Wo, Cin), x.dtype)
+        for ui, u in enumerate(range(-R, R + 2)):
+            sy = lo + kbase_y[k] + u
+            row = jax.lax.slice_in_dim(x_pad, sy, sy + Ho, axis=1)
+            acc_v = jnp.zeros((B, Ho, Wo, Cin), x.dtype)
+            for vi, v in enumerate(range(-R, R + 2)):
+                sx = lo + kbase_x[k] + v
+                view = jax.lax.slice_in_dim(row, sx, sx + Wo, axis=2)
+                acc_v = acc_v + cxs[vi][..., None].astype(x.dtype) * view
+            g = g + cys[ui][..., None].astype(x.dtype) * acc_v
+        g = g * mask[..., k, None].astype(g.dtype)
+        out = out + jnp.einsum("bhwc,cd->bhwd", g, wk[k].astype(g.dtype))
+    return out
+
+
+def _dcn_window_overflow(offsets, radius: int) -> jnp.ndarray:
+    """True iff any sample's integer displacement exceeds the window.
+
+    Samples far outside the image are handled exactly by the windowed
+    path's zero coefficients only when they also miss the window; but a
+    sample can be out-of-window yet inside the image — only those need the
+    gather fallback. Checking the offset magnitude alone (|⌊δ⌋| > R) is a
+    sound over-approximation that is cheap and position-independent: any
+    in-image out-of-window sample has |⌊δ⌋| > R."""
+    iy = jnp.floor(offsets[..., 0])
+    ix = jnp.floor(offsets[..., 1])
+    R = float(radius)
+    return jnp.any((iy < -R) | (iy > R) | (ix < -R) | (ix > R))
+
+
+@partial(jax.jit, static_argnames=("stride", "padding", "dilation",
+                                   "per_tap", "window_radius"))
+def deform_conv2d(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    mask: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    per_tap: bool = True,
+    window_radius: Optional[int] = None,
+) -> jnp.ndarray:
+    """x [B,H,W,Cin]; offsets [B,Ho,Wo,K,2] (dy,dx); mask [B,Ho,Wo,K];
+    weights [kh,kw,Cin,Cout] → [B,Ho,Wo,Cout].
+
+    Three equivalent contractions:
+    - window_radius=R (stride 1 only): shift-select windowed sampling
+      (`_dcn_windowed`) — the fast TPU path; falls back to the gather path
+      under `lax.cond` iff any offset's integer part exceeds R, so results
+      are exact for every input.
+    - per_tap=True: out = Σ_k (gather_k(x)·m_k) @ W_k — one
+      [N, Cin] x [Cin, Cout] matmul per kernel tap, accumulated. Peak
+      intermediate is [B, Ho·Wo, Cin] (K× smaller than the im2col form).
+    - per_tap=False: classic im2col — one [B·Ho·Wo, K·Cin] x
+      [K·Cin, Cout] matmul (mirrors dcn_v2_im2col_cuda.cu + gemm).
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weights.shape
+    K = kh * kw
+    Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+
+    oy = jnp.arange(Ho) * stride - padding
+    ox = jnp.arange(Wo) * stride - padding
+    kyy, kxx = jnp.meshgrid(jnp.arange(kh) * dilation, jnp.arange(kw) * dilation,
+                            indexing="ij")
+    base_y = oy[:, None, None] + kyy.reshape(-1)[None, None, :]   # [Ho,1,K]
+    base_x = ox[None, :, None] + kxx.reshape(-1)[None, None, :]   # [1,Wo,K]
+    # sample coords ALWAYS in f32: absolute coordinates in bf16 lose the
+    # bilinear fraction entirely past x=64 (bf16 ulp(128)=1.0) — at LORE's
+    # 192² neck maps a bf16 coord grid quantizes offsets to garbage
+    base_y = jnp.broadcast_to(base_y, (Ho, Wo, K)).astype(jnp.float32)
+    base_x = jnp.broadcast_to(base_x, (Ho, Wo, K)).astype(jnp.float32)
+
+    ys = base_y[None] + offsets[..., 0].astype(jnp.float32)
+    xs = base_x[None] + offsets[..., 1].astype(jnp.float32)
+
+    if window_radius is not None and stride == 1:
+        out = _dcn_dispatch(x, offsets, mask, weights, padding, dilation,
+                            per_tap, window_radius)
+    else:
+        out = _dcn_gather_taps(x, ys, xs, mask, weights, per_tap)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
 
 
+def _dcn_sample_coords(x, offsets, kh: int, kw: int, padding: int,
+                       dilation: int):
+    """Absolute sample coords ys/xs [B,Ho,Wo,K] for the stride-1 case."""
+    B, H, W, _ = x.shape
+    Ho = H + 2 * padding - dilation * (kh - 1)
+    Wo = W + 2 * padding - dilation * (kw - 1)
+    oy = jnp.arange(Ho) - padding
+    ox = jnp.arange(Wo) - padding
+    kyy, kxx = jnp.meshgrid(jnp.arange(kh) * dilation,
+                            jnp.arange(kw) * dilation, indexing="ij")
+    base_y = oy[:, None, None] + kyy.reshape(-1)[None, None, :]
+    base_x = ox[None, :, None] + kxx.reshape(-1)[None, None, :]
+    ys = base_y[None].astype(jnp.float32) + offsets[..., 0].astype(jnp.float32)
+    xs = base_x[None].astype(jnp.float32) + offsets[..., 1].astype(jnp.float32)
+    return ys, xs
+
+
+def _dcn_full_gather(x, offsets, mask, weights, padding, dilation, per_tap):
+    ys, xs = _dcn_sample_coords(x, offsets, weights.shape[0],
+                                weights.shape[1], padding, dilation)
+    return _dcn_gather_taps(x, ys, xs, mask, weights, per_tap)
+
+
+_CORRECTION_BUDGET = 4096
+
+
+def _dcn_sparse_correction(out, x, offsets, mask, weights, padding,
+                           dilation, radius, budget):
+    """Exact contributions of out-of-window samples, scatter-added.
+
+    The windowed paths give out-of-window samples zero coefficients, so
+    adding each such sample's true bilinear·mask·W_k contribution makes
+    the composition exact — provided the offender count fits the static
+    budget (the caller cond-guards that). Real trained DCNs put almost
+    all offsets within ±1-2 but have heavy tails; whole-layer gather
+    fallback on ANY tail sample would disable the fast path in practice.
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weights.shape
+    K = kh * kw
+    ys, xs = _dcn_sample_coords(x, offsets, kh, kw, padding, dilation)
+    Ho, Wo = ys.shape[1], ys.shape[2]
+
+    iy = jnp.floor(offsets[..., 0].astype(jnp.float32))
+    ix = jnp.floor(offsets[..., 1].astype(jnp.float32))
+    R = float(radius)
+    offender = ((iy < -R) | (iy > R) | (ix < -R) | (ix > R)).reshape(-1)
+
+    (idx,) = jnp.nonzero(offender, size=budget, fill_value=0)
+    # fill_value entries repeat index 0 — gate by rank against the true
+    # count, NOT by offender[idx] (double-counts when sample 0 offends)
+    n_true = jnp.sum(offender.astype(jnp.int32))
+    live = (jnp.arange(budget) < n_true).astype(jnp.float32)    # [M]
+    k_i = (idx % K).astype(jnp.int32)
+    pos = idx // K
+    x_i = (pos % Wo).astype(jnp.int32)
+    rest = pos // Wo
+    y_i = (rest % Ho).astype(jnp.int32)
+    b_i = (rest // Ho).astype(jnp.int32)
+
+    ys_s = ys.reshape(-1)[idx]
+    xs_s = xs.reshape(-1)[idx]
+    m_s = mask.reshape(-1)[idx].astype(jnp.float32) * live      # [M]
+
+    # 4-corner bilinear at M scattered points (zero outside the image)
+    y0 = jnp.floor(ys_s)
+    x0 = jnp.floor(xs_s)
+    wy1 = ys_s - y0
+    wx1 = xs_s - x0
+    x_flat = x.reshape(B * H * W, Cin)
+
+    def corner(dy, dx, wgt):
+        yy = y0.astype(jnp.int32) + dy
+        xx = x0.astype(jnp.int32) + dx
+        valid = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+        lin = (b_i * (H * W) + jnp.clip(yy, 0, H - 1) * W
+               + jnp.clip(xx, 0, W - 1))
+        vals = x_flat[lin].astype(jnp.float32)                  # [M, Cin]
+        return vals * (wgt * valid.astype(jnp.float32))[:, None]
+
+    samp = (corner(0, 0, (1 - wy1) * (1 - wx1))
+            + corner(0, 1, (1 - wy1) * wx1)
+            + corner(1, 0, wy1 * (1 - wx1))
+            + corner(1, 1, wy1 * wx1)) * m_s[:, None]           # [M, Cin]
+
+    wk = weights.reshape(K, Cin, Cout).astype(jnp.float32)[k_i]  # [M,Ci,Co]
+    add = jnp.einsum("mc,mcd->md", samp, wk)                     # [M, Cout]
+    return out.at[b_i, y_i, x_i].add(add.astype(out.dtype))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _dcn_dispatch(x, offsets, mask, weights, padding, dilation, per_tap,
+                  radius):
+    """Fast windowed DCN with exact handling of every input, as one
+    primitive:
+
+    - forward: windowed sampling — Pallas one-hot-matmul kernel (TPU,
+      eligible shapes — deform_conv_pallas.py) or the pure-XLA shifted-
+      window select (CPU / oversize maps) — plus an exact sparse
+      correction for up to _CORRECTION_BUDGET out-of-window samples;
+      `lax.cond` falls back to the full gather formulation only when the
+      offender count exceeds the budget, so results match the gather
+      path for ALL inputs while real checkpoints (tails of a few large
+      offsets) stay on the fast path.
+    - backward: VJP of the gather formulation (the same mathematical
+      function everywhere), so training never differentiates through the
+      kernel. Costs one forward recompute in the backward pass — the
+      standard rematerialization trade.
+    """
+    from advancedliteratemachinery_tpu.ops.deform_conv_pallas import (
+        dcn_windowed_pallas,
+        dcn_windowed_pallas_supported,
+    )
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    use_pallas = on_tpu and dcn_windowed_pallas_supported(
+        x.shape, weights.shape[0], weights.shape[1], 1, radius, padding)
+    if on_tpu and not use_pallas:
+        # the pure-XLA shifted-window select compiles catastrophically
+        # slowly on TPU (hundreds of seconds per 192² layer: the 576-term
+        # stencil chain defeats fusion) — oversize maps take the gather
+        # formulation directly
+        return _dcn_full_gather(x, offsets, mask, weights, padding,
+                                dilation, per_tap)
+
+    iy = jnp.floor(offsets[..., 0].astype(jnp.float32))
+    ix = jnp.floor(offsets[..., 1].astype(jnp.float32))
+    R = float(radius)
+    n_offenders = jnp.sum(((iy < -R) | (iy > R) | (ix < -R) | (ix > R))
+                          .astype(jnp.int32))
+
+    def fast():
+        if use_pallas:
+            out = dcn_windowed_pallas(x, offsets, mask, weights,
+                                      padding=padding, dilation=dilation,
+                                      radius=radius).astype(
+                jnp.promote_types(x.dtype, weights.dtype))
+        else:
+            out = _dcn_windowed(x, offsets, mask, weights, padding,
+                                dilation, radius)
+        # the correction's nonzero/scatter machinery is ~1-2 ms/layer —
+        # skip it at runtime when there is nothing to correct (the common
+        # trained regime, and always at zero-init)
+        return jax.lax.cond(
+            n_offenders > 0,
+            lambda: _dcn_sparse_correction(out, x, offsets, mask, weights,
+                                           padding, dilation, radius,
+                                           _CORRECTION_BUDGET),
+            lambda: out,
+        )
+
+    return jax.lax.cond(
+        n_offenders > _CORRECTION_BUDGET,
+        lambda: _dcn_full_gather(x, offsets, mask, weights, padding,
+                                 dilation, per_tap),
+        fast,
+    )
+
+
+def _dcn_dispatch_fwd(x, offsets, mask, weights, padding, dilation, per_tap,
+                      radius):
+    out = _dcn_dispatch(x, offsets, mask, weights, padding, dilation,
+                        per_tap, radius)
+    return out, (x, offsets, mask, weights)
+
+
+def _dcn_dispatch_bwd(padding, dilation, per_tap, radius, res, g):
+    x, offsets, mask, weights = res
+    _, vjp = jax.vjp(
+        lambda x_, o_, m_, w_: _dcn_full_gather(x_, o_, m_, w_, padding,
+                                                dilation, per_tap),
+        x, offsets, mask, weights)
+    return vjp(g)
+
+
+_dcn_dispatch.defvjp(_dcn_dispatch_fwd, _dcn_dispatch_bwd)
+
+
 class DeformConv2d(nn.Module):
     """DCN module: a plain conv predicts (offsets, modulation), then
     `deform_conv2d` samples and contracts (reference DCN, dcn_v2.py:147 —
-    conv_offset_mask 3x3 → o1,o2,sigmoid(mask))."""
+    conv_offset_mask 3x3 → o1,o2,sigmoid(mask)).
+
+    window_radius enables the fast windowed sampler (Pallas one-hot
+    matmuls on TPU) with exact sparse correction/fallback — results are
+    identical to the gather path for every input, so it is on by
+    default; set None to force the plain gather formulation."""
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     stride: int = 1
     padding: int = 1
     dilation: int = 1
+    window_radius: Optional[int] = 3
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
@@ -167,4 +471,5 @@ class DeformConv2d(nn.Module):
             x.astype(p.compute_dtype), offsets.astype(p.compute_dtype),
             mask.astype(p.compute_dtype), weights.astype(p.compute_dtype),
             bias, self.stride, self.padding, self.dilation,
+            window_radius=self.window_radius,
         )
