@@ -121,3 +121,48 @@ def evaluate_vie(pred_entities: Dict[str, List[Dict[str, Any]]],
     accs = [ntED(preds.get(k, {}), v) for k, v in answers.items()]
     acc = sum(accs) / len(accs) if accs else 0.0
     return {"field_f1": f1, "ntED_acc": acc}
+
+
+# ---------------- BIO entity-level SER scoring ----------------
+
+
+def bio_entities(seq: List[str]) -> List[Tuple[str, int, int]]:
+    """BIO tag sequence → (type, start, end) entity spans, with seqeval's
+    default (lenient) chunking — the scorer GeoLayoutLM's SER evaluation
+    uses (reference lightning_modules/geolayoutlm_vie_module.py:478-480,
+    seqeval f1_score over parse_str_from_seq outputs): a chunk starts at
+    B-x, or at I-x when not continuing a chunk of the same type; it ends
+    before O, before any B-, or on a type change."""
+    ents: List[Tuple[str, int, int]] = []
+    start = -1
+    prev_tag, prev_type = "O", ""
+    for i, chunk in enumerate(list(seq) + ["O"]):
+        tag = chunk[0]
+        typ = chunk[2:] if len(chunk) > 2 else ""
+        end_of = prev_tag in "BI" and (tag in "OB" or typ != prev_type)
+        start_of = tag == "B" or (tag == "I" and
+                                  (prev_tag == "O" or typ != prev_type))
+        if end_of and start >= 0:
+            ents.append((prev_type, start, i - 1))
+            start = -1
+        if start_of:
+            start = i
+        prev_tag, prev_type = tag, typ
+    return ents
+
+
+def bio_entity_f1(gt_seqs: List[List[str]], pr_seqs: List[List[str]]
+                  ) -> Dict[str, float]:
+    """Entity-level micro precision/recall/F1 over BIO sequences
+    (seqeval semantics — exact (type, span) matches)."""
+    tp = n_gt = n_pr = 0
+    for gt, pr in zip(gt_seqs, pr_seqs):
+        g = set(bio_entities(gt))
+        p = set(bio_entities(pr))
+        tp += len(g & p)
+        n_gt += len(g)
+        n_pr += len(p)
+    prec = tp / n_pr if n_pr else 0.0
+    rec = tp / n_gt if n_gt else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"precision": prec, "recall": rec, "f1": f1}

@@ -92,3 +92,70 @@ class TestVieBatches:
                   log_fn=lambda m: None)
         assert res.steps_run == 2
         assert np.isfinite(res.last_metrics["loss"])
+
+
+import pytest
+
+
+@pytest.mark.slow
+class TestGeoLayoutLMOverfit:
+    def test_overfits_ser_entity_f1(self, tmp_path):
+        """Task-metric overfit proof (VERDICT r3 item 2): the real VIE
+        train path (preprocessed-page jsons → vie_batches →
+        geolayoutlm_recipe → fit) takes the tiny model to perfect
+        entity-level SER F1 on its one-page set, scored by the reference
+        protocol — BIO tags → seqeval-style entity spans → micro F1
+        (eval/kie_metrics.py bio_entity_f1; reference
+        geolayoutlm_vie_module.py:478 seqeval f1_score over
+        parse_str_from_seq). Threshold: F1 == 1.0 within 300 steps."""
+        import jax.numpy as jnp
+        import optax
+
+        from advancedliteratemachinery_tpu.engine.fit import FitConfig, fit
+        from advancedliteratemachinery_tpu.eval.kie_metrics import (
+            bio_entity_f1)
+
+        class_names = ("HEADER", "QUESTION", "ANSWER")
+        bio_names = ["O"] + [f"{p}-{c}" for c in class_names
+                             for p in ("B", "I")]
+        model = GeoLayoutLM(TINY, policy=FP32_POLICY)
+        ds = B.VIEPreprocessedDataset(_page(tmp_path))
+        it = B.vie_batches(ds, batch_size=1, max_seq=16, max_blocks=4,
+                           image_size=64, cls_id=99,
+                           class_names=class_names)
+        gold_batch = next(B.vie_batches(ds, batch_size=1, max_seq=16,
+                                        max_blocks=4, image_size=64,
+                                        cls_id=99,
+                                        class_names=class_names))
+        variables = model.init(jax.random.PRNGKey(0),
+                               {k: jnp.asarray(v)
+                                for k, v in gold_batch.items()})
+        from advancedliteratemachinery_tpu.engine.recipes import (
+            geolayoutlm_recipe)
+
+        loss_fn, _ = geolayoutlm_recipe(model)
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+
+        labels = gold_batch["bio_labels"][0]
+        valid = labels >= 0
+        gt_seq = [bio_names[i] for i in labels[valid]]
+        fwd = jax.jit(lambda p, b: model.apply(
+            {"params": p}, b, deterministic=True)["logits4labeling"])
+        batch_dev = {k: jnp.asarray(v) for k, v in gold_batch.items()}
+
+        best = {"f1": 0.0}
+
+        def eval_fn(state):
+            logits = np.asarray(fwd(state.params, batch_dev))[0]
+            pred = logits.argmax(-1)
+            pr_seq = [bio_names[i] for i in pred[valid]]
+            f1 = bio_entity_f1([gt_seq], [pr_seq])["f1"]
+            best["f1"] = max(best["f1"], f1)
+            return {"ser_f1": f1}
+
+        fit(loss_fn, tx, variables["params"], it,
+            FitConfig(total_steps=300, log_interval=100, val_interval=25),
+            mesh=create_mesh(data=1, devices=jax.devices()[:1]),
+            eval_fn=eval_fn, log_fn=lambda m: None)
+        assert best["f1"] == 1.0, \
+            f"SER never reached entity F1 1.0 on its own page ({best})"

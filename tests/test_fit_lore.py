@@ -96,3 +96,117 @@ class TestFitLore:
                   log_fn=lambda m: None)
         assert res.steps_run == 2
         assert np.isfinite(res.last_metrics["loss"])
+
+
+@pytest.mark.slow
+class TestLoreOverfit:
+    def test_overfits_logical_locations(self, tmp_path):
+        """Task-metric overfit proof (VERDICT r3 item 2): the real LORE
+        train path (TableDataset → lore_batches → lore_recipe_u8 → fit)
+        takes the tiny model to correct LOGICAL LOCATIONS on its 2x2-cell
+        synthetic table, scored by the reference protocol —
+        detect → IoU-match → exact 4-coord logical accuracy
+        (eval/lore_metrics.py logical_accuracy; reference
+        src/lib/utils/eval_utils.py:116 evalAxis). Threshold: every
+        matched cell's logical coords exact (accuracy == 1.0) AND all
+        four cells detected (bbox recall == 1.0) at some eval point
+        within 1000 steps."""
+        import jax.numpy as jnp
+        import optax
+
+        from advancedliteratemachinery_tpu.engine.fit import FitConfig, fit
+        from advancedliteratemachinery_tpu.eval.lore_metrics import (
+            bbox_prf, logical_accuracy, quad_to_rect)
+        from advancedliteratemachinery_tpu.models.dla import (
+            DLAConfig, DLASegConfig)
+        from advancedliteratemachinery_tpu.models.lore import LoreConfig
+        from advancedliteratemachinery_tpu.ops.image import normalize_crops
+
+        cfg = LoreConfig(
+            backbone=DLASegConfig(
+                dla=DLAConfig(levels=(1, 1, 1, 1, 1, 1),
+                              channels=(4, 8, 16, 16, 32, 32)),
+                head_conv=8,
+                heads=(("hm", 2), ("wh", 8), ("ax", 32), ("cr", 32),
+                       ("st", 8), ("reg", 2))),
+            input_size=32, hidden_size=32, tsfm_layers=1,
+            stacking_layers=1, num_heads=2, top_k=8, corner_k=8,
+            max_fmp_size=32)
+        model = LORE(cfg, policy=FP32_POLICY)
+        # a VISIBLE 2-cell table (ruled borders — a blank page leaves the
+        # translation-invariant backbone nothing to localize) with
+        # REALISTIC positive logical coords: the reference Processor ends
+        # in ReLU (transformer.py:41 'newly added'), so an all-zero
+        # logical target set collapses the head dead; real tables index
+        # rows/cols from positive ranges
+        from PIL import ImageDraw
+        img_pil = Image.new("RGB", (128, 128), "white")
+        draw = ImageDraw.Draw(img_pil)
+        cells = [[16, 16, 60, 16, 60, 40, 16, 40],
+                 [64, 16, 110, 16, 110, 40, 64, 40],
+                 [16, 48, 60, 48, 60, 72, 16, 72],
+                 [64, 48, 110, 48, 110, 72, 64, 72]]
+        logic_axes = [[1, 1, 1, 1], [1, 1, 2, 2],
+                      [2, 2, 1, 1], [2, 2, 2, 2]]
+        for c in cells:
+            draw.rectangle([c[0], c[1], c[4], c[5]], outline=(0, 0, 0),
+                           width=2)
+        img_pil.save(tmp_path / "t.png")
+        coco = {"images": [{"id": 1, "file_name": "t.png",
+                            "height": 128, "width": 128}],
+                "annotations": [
+                    {"id": i + 1, "image_id": 1, "segmentation": c,
+                     "logic_axis": logic_axes[i]}
+                    for i, c in enumerate(cells)]}
+        (tmp_path / "tables.json").write_text(json.dumps(coco))
+        ds = B.TableDataset(str(tmp_path), str(tmp_path / "tables.json"))
+        it = B.lore_batches(ds, batch_size=2, image_hw=(64, 64),
+                            max_cells=8, seed=0)
+        variables = model.init_full(jax.random.PRNGKey(0),
+                                    image_shape=(64, 64))
+        loss_fn, _ = B.lore_recipe_u8(model)
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(2e-3))
+
+        # GT on the 16x16 output grid of the 64x64 train size
+        s = ds[0]
+        scale = 64.0 / 128.0 / 4.0
+        gt_rects = [quad_to_rect((np.asarray(c, np.float32) * scale
+                                  ).reshape(-1)) for c in s["cells"]]
+        gt_axes = [list(map(int, a)) for a in s["logic"]]
+
+        from PIL import Image as PILImage
+        import os
+        img = np.asarray(PILImage.open(
+            os.path.join(s["image_folder"], s["file_name"])
+        ).convert("RGB").resize((64, 64)), np.uint8)
+        img_dev = jnp.asarray(img[None])
+        infer = jax.jit(lambda v, x: model.apply(
+            v, normalize_crops(x, dtype=jnp.float32), method=model.infer))
+
+        best = {"logic": 0.0, "recall": 0.0, "joint": 0.0}
+
+        def eval_fn(state):
+            out = infer({"params": state.params,
+                         "batch_stats": state.batch_stats}, img_dev)
+            det = np.asarray(out["detections"])[0]
+            scores = np.asarray(out["scores"])[0]
+            logic = np.rint(np.asarray(out["logic"])[0])
+            keep = scores > 0.3
+            pred_rects = [quad_to_rect(d[:8]) for d in det[keep]]
+            pred_axes = [logic[i] for i in np.nonzero(keep)[0]]
+            prf = bbox_prf(pred_rects, gt_rects)
+            acc = logical_accuracy(pred_rects, pred_axes, gt_rects,
+                                   gt_axes)
+            best["logic"] = max(best["logic"], acc)
+            best["recall"] = max(best["recall"], prf["recall"])
+            joint = acc if prf["recall"] == 1.0 else 0.0
+            best["joint"] = max(best["joint"], joint)
+            return {"logic_acc": acc, "recall": prf["recall"]}
+
+        fit(loss_fn, tx, variables["params"], it,
+            FitConfig(total_steps=1000, log_interval=200, val_interval=50),
+            mesh=create_mesh(data=1, devices=jax.devices()[:1]),
+            batch_stats=variables["batch_stats"], eval_fn=eval_fn,
+            log_fn=lambda m: None)
+        assert best["joint"] == 1.0, (
+            f"never reached full detection + exact logical coords: {best}")

