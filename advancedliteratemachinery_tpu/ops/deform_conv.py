@@ -364,9 +364,10 @@ def _dcn_dispatch(x, offsets, mask, weights, padding, dilation, per_tap,
         dcn_windowed_pallas_supported,
     )
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"   # Mosaic exists only on TPU
     use_pallas = on_tpu and dcn_windowed_pallas_supported(
-        x.shape, weights.shape[0], weights.shape[1], 1, radius, padding)
+        x.shape, weights.shape[0], weights.shape[1], 1, radius, padding,
+        dilation=dilation, itemsize=jnp.dtype(x.dtype).itemsize)
     if on_tpu and not use_pallas:
         # the pure-XLA shifted-window select compiles catastrophically
         # slowly on TPU (hundreds of seconds per 192² layer: the 576-term

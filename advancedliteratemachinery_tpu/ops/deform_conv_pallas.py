@@ -97,15 +97,21 @@ def _kernel(offy_ref, offx_ref, mask_ref, x_ref, w_ref, o_ref, *,
 
 def dcn_windowed_pallas_supported(x_shape: Tuple[int, ...], kh: int, kw: int,
                                   stride: int, radius: int,
-                                  padding: int) -> bool:
-    """Eligibility: stride 1, H divisible by the band height, and the
-    padded map + scratch fits comfortably in VMEM (~16 MB/core)."""
+                                  padding: int, dilation: int = 1,
+                                  itemsize: int = 2) -> bool:
+    """Eligibility: stride 1, SAME-size output (the kernel hardcodes
+    out_shape == in_shape, so 2*padding must equal dilation*(k-1) on both
+    axes), H divisible by the band height, and the padded map + scratch
+    fits comfortably in VMEM (~16 MB/core). `itemsize` is the input
+    dtype's byte width (f32 inputs stay resident at 4 B/elt)."""
     B, H, W, C = x_shape
     if stride != 1 or H % 8 != 0:
         return False
+    if 2 * padding != dilation * (kh - 1) or 2 * padding != dilation * (kw - 1):
+        return False                       # output size would differ from H,W
     P = radius + padding + 1
-    x_bytes = (H + 2 * P) * (W + 2 * P) * C * 2      # bf16 resident copy
-    scratch = 8 * W * (W + 2 * P) * 2 + 2 * 8 * W * C * 4
+    x_bytes = (H + 2 * P) * (W + 2 * P) * C * itemsize   # resident copy
+    scratch = 8 * W * (W + 2 * P) * itemsize + 2 * 8 * W * C * 4
     # v5e VMEM comfortably holds ~64 MB kernels (the vmem_limit_bytes
     # this module requests is 100 MB, the same knob JAX's TPU flash
     # attention raises); leave headroom for Mosaic's own buffers

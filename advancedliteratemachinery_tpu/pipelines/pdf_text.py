@@ -184,6 +184,8 @@ class _Lexer:
             c = d[self.pos]
             self.pos += 1
             if c == 0x5C:  # backslash
+                if self.pos >= len(d):   # trailing backslash at EOF
+                    break
                 e = d[self.pos]
                 self.pos += 1
                 esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
@@ -193,7 +195,7 @@ class _Lexer:
                 elif 0x30 <= e <= 0x37:  # octal
                     oct_s = bytes([e])
                     for _ in range(2):
-                        if 0x30 <= d[self.pos] <= 0x37:
+                        if self.pos < len(d) and 0x30 <= d[self.pos] <= 0x37:
                             oct_s += bytes([d[self.pos]])
                             self.pos += 1
                         else:
@@ -219,8 +221,13 @@ class _Lexer:
     def _read_hex_string(self) -> bytes:
         d = self.data
         end = d.find(b">", self.pos)
-        hexs = re.sub(rb"[^0-9A-Fa-f]", b"", d[self.pos:end])
-        self.pos = end + 1
+        if end < 0:                      # unterminated: consume to EOF, never
+            end = len(d)                 # move the lexer backwards
+            hexs = re.sub(rb"[^0-9A-Fa-f]", b"", d[self.pos:end])
+            self.pos = end
+        else:
+            hexs = re.sub(rb"[^0-9A-Fa-f]", b"", d[self.pos:end])
+            self.pos = end + 1
         if len(hexs) % 2:
             hexs += b"0"
         return bytes.fromhex(hexs.decode("ascii"))
@@ -568,15 +575,19 @@ class _Font:
                 self.to_unicode = {}
 
     def iter_codes(self, raw: bytes):
-        """Yield (code, is_space) glyph codes from a PDF string."""
+        """Yield (code, is_space, applies_tw) glyph codes from a PDF
+        string. `is_space` drives word segmentation (ToUnicode-aware);
+        `applies_tw` follows ISO 32000-1 §9.3.3: word spacing Tw applies
+        ONLY to the single-byte code 32, never to multi-byte codes."""
         if self.two_byte:
             for i in range(0, len(raw) - 1, 2):
                 code = (raw[i] << 8) | raw[i + 1]
-                yield code, self.to_unicode.get(code) == " "
+                yield code, self.to_unicode.get(code) == " ", False
         else:
             for b in raw:
-                yield b, (b == 32 if not self.to_unicode
-                          else self.to_unicode.get(b, chr(b)) == " ")
+                is_space = (b == 32 if not self.to_unicode
+                            else self.to_unicode.get(b, chr(b)) == " ")
+                yield b, is_space, b == 32
 
     def width(self, code: int) -> float:
         return self.widths.get(code, self.default_width)
@@ -666,14 +677,14 @@ def _extract_page_chars(doc: PdfDocument, page: Dict) -> List[Dict]:
         nonlocal tm
         if font is None:
             return
-        for code, is_space in font.iter_codes(raw):
+        for code, is_space, applies_tw in font.iter_codes(raw):
             w0 = font.width(code) / 1000.0
             trm = _mat_mul((tfs * th, 0.0, 0.0, tfs, 0.0, ts_rise),
                            _mat_mul(tm, ctm))
             x, y = trm[4], trm[5]
             scale = (trm[0] ** 2 + trm[1] ** 2) ** 0.5 / max(tfs * th, 1e-9) \
                 if tfs else 1.0
-            adv = (w0 * tfs + tc + (tw if is_space else 0.0)) * th
+            adv = (w0 * tfs + tc + (tw if applies_tw else 0.0)) * th
             chars.append({"c": font.unicode(code), "x": x, "y": y,
                           "w": w0 * tfs * th * scale,
                           "size": tfs * scale,

@@ -115,6 +115,36 @@ class TestPallasKernel:
                                                  1, 3, 1)   # VMEM blowout
         assert not dcn_windowed_pallas_supported((1, 28, 192, 64), 3, 3, 1,
                                                  3, 1)      # H % 8 != 0
+        # output size must equal input (kernel hardcodes out_shape):
+        # padding=0 or dilation breaking 2p == d(k-1) must be rejected
+        assert not dcn_windowed_pallas_supported((8, 192, 192, 64), 3, 3,
+                                                 1, 3, 0)   # padding 0
+        assert not dcn_windowed_pallas_supported((8, 192, 192, 64), 3, 3,
+                                                 1, 3, 1, dilation=2)
+        assert dcn_windowed_pallas_supported((8, 192, 192, 64), 3, 3, 1,
+                                             3, 2, dilation=2)
+        # f32 inputs are 2x the VMEM of bf16 — borderline shapes flip
+        assert dcn_windowed_pallas_supported((1, 384, 384, 96), 3, 3, 1,
+                                             3, 1, itemsize=2)
+        assert not dcn_windowed_pallas_supported((1, 384, 384, 96), 3, 3,
+                                                 1, 3, 1, itemsize=4)
+
+    def test_padding0_dispatch_no_crash(self):
+        """ADVICE r4 (medium): deform_conv2d with window_radius and
+        padding=0 used to crash at trace time on TPU because the Pallas
+        kernel hardcodes same-size output; the gate now rejects it and
+        the gather path produces the correctly-shaped result."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 8)), jnp.float32)
+        off = jnp.asarray(rng.standard_normal((1, 14, 14, 9, 2)) * 0.3,
+                          jnp.float32)
+        m = jnp.asarray(rng.uniform(0, 1, (1, 14, 14, 9)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 8, 5)) * 0.1, jnp.float32)
+        out = deform_conv2d(x, off, m, w, padding=0, window_radius=3)
+        assert out.shape == (1, 14, 14, 5)
+        ref = deform_conv2d(x, off, m, w, padding=0)   # gather reference
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
 
 
 class TestSparseCorrection:

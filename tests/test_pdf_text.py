@@ -204,6 +204,43 @@ class TestRobustness:
         words = extract_pdf_words(_classic_pdf(with_contents=False))
         assert words == [[]]
 
+    def test_unterminated_hex_string_no_hang(self):
+        """ADVICE r4: a hex string with no '>' used to rewind the lexer
+        (find() == -1 → pos = 0) and loop forever; it must consume to EOF."""
+        from advancedliteratemachinery_tpu.pipelines.pdf_text import _Lexer
+
+        lex = _Lexer(b"<48656C6C6F", 0)
+        obj = lex.read_object()
+        assert obj == b"Hello"
+        assert lex.pos == 11            # at EOF, not rewound
+
+    def test_trailing_backslash_literal_string(self):
+        """A literal string ending in a lone backslash at EOF must not
+        IndexError (ADVICE r4)."""
+        from advancedliteratemachinery_tpu.pipelines.pdf_text import _Lexer
+
+        lex = _Lexer(b"(abc\\", 0)
+        with pytest.raises(ValueError, match="unterminated"):
+            lex.read_object()           # clean error, not IndexError
+
+    def test_tw_only_single_byte_code32(self):
+        """ISO 32000-1 9.3.3: word spacing Tw applies only to single-byte
+        code 32 — two-byte Type0 codes mapping to ' ' get is_space (word
+        segmentation) but never applies_tw (ADVICE r4)."""
+        from advancedliteratemachinery_tpu.pipelines.pdf_text import _Font
+
+        f = _Font.__new__(_Font)
+        f.two_byte = True
+        f.to_unicode = {0x0003: " ", 0x0041: "A"}
+        codes = list(f.iter_codes(b"\x00\x41\x00\x03"))
+        assert codes == [(0x41, False, False), (0x03, True, False)]
+
+        f1 = _Font.__new__(_Font)
+        f1.two_byte = False
+        f1.to_unicode = {}
+        codes = list(f1.iter_codes(b"a b"))
+        assert [c[2] for c in codes] == [False, True, False]
+
     def test_tounicode_cmap(self):
         from advancedliteratemachinery_tpu.pipelines.pdf_text import (
             _parse_tounicode)
