@@ -12,13 +12,15 @@ Baseline: the driver's north-star of 2000 word-crop images/sec/chip
 (BASELINE.json; the reference publishes no throughput numbers).
 
 Workload shape: P=8 pages of 640x640 at 64-word density. Round 4 made
-the e2e stage fully honest (VERDICT r3 item 5): page bytes stream
-host→HBM inside the timed loop, the prob map comes back to the host, the
-REAL cv2 box extraction runs (models/db.py extract_boxes), and the
-extracted quads drive the device crop+recognition stage — the same
-stage set the reference runs as separate model processes (DocXChain
-pipelines/document_structurization.py:37), here with detection for the
-next batch dispatched ahead of host extraction. A `lore_tsr_infer_
+the e2e stage fully honest (page bytes H2D, box extraction, and all
+decode stages inside the timed loop) and measured 419 crops/s — the
+host cv2 extraction + 13 MB/iter prob-map D2H were the bottleneck.
+Round 5 moved box extraction device-side (ops/cc_extract.py, parity-
+tested vs the cv2 path), so one jitted graph now runs detection →
+extraction → crop-warp → recognition per iteration and only pages (H2D)
+and char ids + box counts (D2H) cross the tunnel — the same stage set
+the reference runs as separate model processes (DocXChain
+pipelines/document_structurization.py:37). A `lore_tsr_infer_
 throughput` stage (batched LORE-TSR pipeline incl. decode + logical
 Processor) joins the headline metrics per VERDICT r3 item 1.
 """
@@ -63,14 +65,21 @@ def rec_only_bench():
 
 
 def e2e_spotting_bench(rec_model, rec_engine):
-    """End-to-end spotting throughput with NOTHING hoisted (VERDICT r3
-    item 5): every timed iteration streams fresh uint8 pages host→HBM,
-    runs the DB forward, moves the prob map device→host, extracts boxes
-    with the REAL cv2 post-processing (models/db.py extract_boxes —
-    contours → minAreaRect → score filter → unclip), sends the quads
-    back, and runs device crop-warp + recognition + fused greedy decode.
-    Detection i+1 is dispatched before extracting boxes for i (JAX async
-    dispatch), the same overlap a production pipeline would run.
+    """End-to-end spotting throughput with NOTHING hoisted: every timed
+    iteration streams fresh uint8 pages host→HBM, then runs ONE jitted
+    graph containing the full stage set the reference runs as separate
+    processes (DocXChain pipelines/document_structurization.py:37) —
+    DB forward → box extraction (binarize → connected components →
+    min-area rect → rect-mean score filter → unclip; ops/cc_extract.py,
+    parity-tested against the cv2 host path in tests/test_cc_extract.py)
+    → quad crop-warp → MGP-STR recognition → fused greedy decode. The
+    round-4 version moved the f32 prob map D2H (13 MB/iter through the
+    tunnel) and ran cv2 contours serially on the single-core host at
+    ~100 ms/iter; round 5 moved extraction device-side (VERDICT r4
+    item 1), so the only transfers are pages H2D (9.8 MB/iter, timed)
+    and char ids + live-box counts D2H (a few KB, timed). Extraction
+    runs at the honest general-purpose setting (cc_iters=4; the bench's
+    rectangles converge in 1).
 
     Box stability with random weights: the prob head's final conv is
     re-seeded to (tiny kernel, bias −8) so the background stays ≈0 while
@@ -78,11 +87,10 @@ def e2e_spotting_bench(rec_model, rec_engine):
     max-overlaid with a fixed 64-word template per page; box COORDINATES
     therefore come from the actual prob map through the full extraction
     path at realistic density. Counted crops are the boxes extraction
-    actually returned."""
-    import cv2  # noqa: F401 — extract_boxes dependency, fail fast here
-
-    from advancedliteratemachinery_tpu.models.db import (
-        DBConfig, DBDetector, extract_boxes)
+    actually returned (`valid` sums fetched from device, per iteration)."""
+    from advancedliteratemachinery_tpu.models.db import DBConfig, DBDetector
+    from advancedliteratemachinery_tpu.ops.cc_extract import (
+        extract_boxes_device)
     from advancedliteratemachinery_tpu.ops.image import crop_rects
 
     P, PH, PW = 8, 640, 640
@@ -111,56 +119,37 @@ def e2e_spotting_bench(rec_model, rec_engine):
     pages_np = [rng.integers(0, 256, (P, PH, PW, 3), dtype=np.uint8)
                 for _ in range(iters)]
 
-    @jax.jit
-    def det_stage(v, pages_u8, tmpl):
-        prob = det.apply(v, pages_u8)["prob"][..., 0]     # [P, H, W]
-        return jnp.maximum(prob, tmpl[None])
-
     rec_params = rec_engine.params
     decode_all = rec_engine._decode_all
 
     @jax.jit
-    def rec_stage(params, pages_u8, quads):
+    def spot_step(det_v, rec_p, pages_u8, tmpl):
+        prob = det.apply(det_v, pages_u8)["prob"][..., 0]    # [P, H, W]
+        prob = jnp.maximum(prob, tmpl[None])
+        quads, _scores, valid = extract_boxes_device(prob, max_boxes=K)
         crops = crop_rects(pages_u8, quads, out_hw=crop_hw)
         crops = crops.reshape(P * K, crop_hw[0], crop_hw[1], 3)
-        return dict(decode_all(params, crops))
+        out = dict(decode_all(rec_p, crops))
+        out["n_valid"] = jnp.sum(valid)
+        return out
 
-    def host_extract(prob_np):
-        """cv2 extraction per page → padded [P, K, 4, 2] + live count."""
-        quads = np.zeros((P, K, 4, 2), np.float32)
-        n = 0
-        for j in range(P):
-            q, _scores = extract_boxes(prob_np[j])
-            q = q[:K]
-            quads[j, :len(q)] = q.reshape(-1, 4, 2)
-            n += len(q)
-        return quads, n
-
-    # warmup / compile both stages + one host extraction
-    pd = jnp.asarray(pages_np[0])
-    prob0 = np.asarray(det_stage(det_vars, pd, template_dev))
-    q0, n0 = host_extract(prob0)
-    np.asarray(rec_stage(rec_params, pd, jnp.asarray(q0))["char_ids"])
+    # warmup / compile
+    out0 = spot_step(det_vars, rec_params, jnp.asarray(pages_np[0]),
+                     template_dev)
+    np.asarray(out0["char_ids"])
+    n0 = int(np.asarray(out0["n_valid"]))
     assert n0 >= P * K // 2, f"extraction found only {n0} boxes"
 
-    total_crops = 0
-    rec_futs = []
+    futs = []
     t0 = time.perf_counter()
-    pages_dev = jnp.asarray(pages_np[0])
-    prob_fut = det_stage(det_vars, pages_dev, template_dev)
     for i in range(iters):
-        if i + 1 < iters:                      # dispatch ahead (overlap)
-            next_pages = jnp.asarray(pages_np[i + 1])
-            next_prob = det_stage(det_vars, next_pages, template_dev)
-        prob_np = np.asarray(prob_fut)         # sync det i (D2H prob map)
-        quads, n = host_extract(prob_np)       # cv2 on host
-        total_crops += n
-        rec_futs.append(rec_stage(rec_params, pages_dev,
-                                  jnp.asarray(quads)))
-        if i + 1 < iters:
-            pages_dev, prob_fut = next_pages, next_prob
-    for f in rec_futs:
-        np.asarray(f["char_ids"])              # drain recognition
+        pages_dev = jnp.asarray(pages_np[i])          # H2D inside the loop
+        futs.append(spot_step(det_vars, rec_params, pages_dev,
+                              template_dev))
+    total_crops = 0
+    for f in futs:                                    # drain: ids + counts
+        np.asarray(f["char_ids"])
+        total_crops += int(np.asarray(f["n_valid"]))
     dt = time.perf_counter() - t0
     return total_crops / dt
 
@@ -320,8 +309,10 @@ def main():
         "value": round(e2e_ips, 1),
         "unit": "word-crop images/sec/chip",
         "vs_baseline": round(e2e_ips / baseline, 3),
-        "note": "page H2D + DB fwd + prob D2H + cv2 box extraction + "
-                "quad H2D + device crop-warp + recognition, all timed",
+        "note": "page H2D + DB fwd + device box extraction (binarize/"
+                "CCL/min-area-rect/score/unclip, cv2-parity-tested) + "
+                "crop-warp + recognition + decode, all timed; D2H = "
+                "char ids + live box counts",
     }))
 
 

@@ -121,3 +121,40 @@ class TestSpottingService:
                                               np.asarray(want_rec))
         occ = svc.occupancy
         assert all(0.0 <= o <= 1.0 for o in occ.values())
+
+    def test_concurrent_pages_match_sequential(self):
+        """8 pages submitted at once (batched encoder + depth-2 pipelined
+        ticks + slot reuse across requests) must decode exactly what
+        one-at-a-time submission decodes."""
+        import jax
+        import jax.numpy as jnp
+        from advancedliteratemachinery_tpu.core.precision import FP32_POLICY
+        from advancedliteratemachinery_tpu.engine.serving import SpottingService
+        from advancedliteratemachinery_tpu.models.omniparser import (
+            OmniParser, OmniParserConfig)
+
+        cfg = OmniParserConfig(
+            swin_variant="tiny", d_model=32, nhead=2, dec_layers=2,
+            dim_feedforward=64, num_bins=20, chars="ab",
+            max_position_embeddings=64, pt_seq_length=8, poly_length=4,
+            rec_length=4, max_instances=4, drop_path_rate=0.0)
+        model = OmniParser(cfg, policy=FP32_POLICY)
+        images = jax.random.normal(jax.random.PRNGKey(2), (8, 64, 64, 3))
+        seqs = {t: jnp.ones((1, 5), jnp.int32) for t in ("pt", "poly", "rec")}
+        params = model.init(jax.random.PRNGKey(1), images[:1], seqs)["params"]
+        pages = [np.asarray(images[i]) for i in range(8)]
+
+        svc = SpottingService(model, params, n_slots=3,
+                              encode_batch=4).start()
+        try:
+            seq = [svc([p])[0] for p in pages]        # one at a time
+            futs = [svc.submit(p) for p in pages]     # all at once
+            conc = [f.result(timeout=120) for f in futs]
+        finally:
+            svc.stop()
+        for a, b in zip(seq, conc):
+            np.testing.assert_array_equal(a["points"], b["points"])
+            assert [list(p) for p in a["polygons"]] \
+                == [list(p) for p in b["polygons"]]
+            assert [list(r) for r in a["rec_tokens"]] \
+                == [list(r) for r in b["rec_tokens"]]
