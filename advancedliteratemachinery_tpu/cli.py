@@ -92,6 +92,45 @@ def _print_model_cost(name: str, variant: str) -> None:
              if flops else ""))
 
 
+def _cfg_overrides(cfg, json_str):
+    """Apply a JSON dict of (possibly nested) field overrides to a frozen
+    ConfigBase dataclass — the `--config-json` escape hatch that lets the
+    parity-rehearsal commands (docs/PARITY.md) run the exact released
+    command line against reduced-dimension fixture checkpoints."""
+    if not json_str:
+        return cfg
+    import dataclasses
+    import typing
+
+    def apply(c, d):
+        fields = {f.name: f for f in dataclasses.fields(c)}
+        try:
+            hints = typing.get_type_hints(type(c))
+        except Exception:          # string annotations that don't resolve
+            hints = {}
+        kw = {}
+        for k, v in d.items():
+            if k not in fields:
+                raise ValueError(f"{type(c).__name__}: unknown config "
+                                 f"field {k!r}; valid: {sorted(fields)}")
+            cur = getattr(c, k)
+            if isinstance(v, dict) and dataclasses.is_dataclass(cur):
+                v = apply(cur, v)
+            elif isinstance(v, dict):
+                # None default with a dataclass annotation (e.g.
+                # MGPSTRConfig.vit): construct the sub-config fresh
+                hint = hints.get(k)
+                if isinstance(hint, type) and dataclasses.is_dataclass(hint):
+                    v = apply(hint(), v)
+            elif isinstance(v, list) and (cur is None
+                                          or isinstance(cur, tuple)):
+                v = tuple(v)
+            kw[k] = v
+        return dataclasses.replace(c, **kw)
+
+    return apply(cfg, json.loads(json_str))
+
+
 def _mgp_engine(args):
     import jax
     import jax.numpy as jnp
@@ -102,6 +141,7 @@ def _mgp_engine(args):
 
     L = getattr(args, "batch_max_length", None) or 25
     cfg = MGPSTRConfig(variant=args.variant, batch_max_length=L)
+    cfg = _cfg_overrides(cfg, getattr(args, "config_json", None))
     model = MGPSTR(cfg)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 32, 128, 3)))["params"]
@@ -142,7 +182,9 @@ def _rec_engine(args):
         from advancedliteratemachinery_tpu.models.lister import (
             LISTER, LISTERConfig)
 
-        m = LISTER(LISTERConfig(variant=args.variant))
+        cfg = _cfg_overrides(LISTERConfig(variant=args.variant),
+                             getattr(args, "config_json", None))
+        m = LISTER(cfg)
         params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 128, 3)),
                         jnp.ones((1, 32, 128)))["params"]
         if getattr(args, "torch_ckpt", None):
@@ -157,7 +199,8 @@ def _rec_engine(args):
     from advancedliteratemachinery_tpu.models.levocr import (
         LevOCR, LevOCRConfig, LevtDictionary)
 
-    cfg = LevOCRConfig()
+    cfg = _cfg_overrides(LevOCRConfig(),
+                         getattr(args, "config_json", None))
     m = LevOCR(cfg)
     d = LevtDictionary(max_len=cfg.max_len)
     tok = jnp.asarray(d.encode([""]))
@@ -749,6 +792,175 @@ def cmd_eval_det(args) -> int:
     if isinstance(dets, dict):
         dets = dets.get("annotations", dets)
     print(json.dumps(coco_map(dets, gt), indent=2, default=float))
+    return 0
+
+
+def cmd_layout(args) -> int:
+    """VGT layout detection: page images (+ optional pdf-grid .npz word
+    grids) → COCO-format detections JSON, feeding `eval-det` — the
+    reference inference path (VGT/inference.py: image + grid pkl →
+    detectron2 predictor → instances). Detections are emitted in
+    ORIGINAL image coordinates."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from advancedliteratemachinery_tpu.models.rcnn import (
+        CascadeConfig,
+        VGTCascadeDetector,
+    )
+    from advancedliteratemachinery_tpu.models.vgt import (
+        VGTConfig,
+        rasterize_word_grid,
+    )
+
+    cfg = _cfg_overrides(VGTConfig(), args.config_json)
+    ccfg = _cfg_overrides(CascadeConfig(), args.cascade_json)
+    S = args.image_size
+    det = VGTCascadeDetector(cfg, ccfg)
+    variables = det.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, S, S, 3)),
+                         jnp.zeros((1, S, S), jnp.int32))
+    if args.torch_ckpt:
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            TORCH_IMPORTERS,
+            load_torch_state_dict,
+        )
+        variables = TORCH_IMPORTERS["vgt_cascade"](
+            load_torch_state_dict(args.torch_ckpt),
+            jax.tree.map(np.asarray, dict(variables)),
+            pooler_resolution=ccfg.pooler_resolution)
+    elif args.ckpt:
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            load_params_checkpoint)
+        variables = load_params_checkpoint(args.ckpt, dict(variables))
+
+    infer = jax.jit(lambda v, im, g: det.apply(v, im, g, train=False))
+    detections = []
+    for image_id, path in enumerate(args.images, start=1):
+        img = Image.open(path).convert("RGB")
+        W0, H0 = img.size
+        arr = np.asarray(img.resize((S, S)), np.float32)[None]
+        grid = np.zeros((1, S, S), np.int64)
+        if args.grid_dir:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            npz_path = os.path.join(args.grid_dir, stem + ".npz")
+            if os.path.exists(npz_path):
+                z = np.load(npz_path, allow_pickle=True)
+                pw, ph = z["page_size"]
+                b = z["bbox_subword_list"]
+                if len(b):
+                    sx, sy = S / float(pw), S / float(ph)
+                    xyxy = np.stack([b[:, 0] * sx, b[:, 1] * sy,
+                                     (b[:, 0] + b[:, 2]) * sx,
+                                     (b[:, 1] + b[:, 3]) * sy], axis=1)
+                    grid[0] = rasterize_word_grid(z["input_ids"], xyxy,
+                                                  S, S, 1)
+        out = infer(variables, jnp.asarray(arr), jnp.asarray(grid))
+        boxes = np.asarray(out["boxes"])
+        scores = np.asarray(out["scores"])
+        classes = np.asarray(out["classes"])
+        valid = np.asarray(out["valid"])
+        sx, sy = W0 / S, H0 / S
+        for i in range(len(valid)):
+            if not valid[i]:
+                continue
+            x0, y0, x1, y1 = boxes[i]
+            detections.append({
+                "image_id": image_id,
+                "category_id": int(classes[i]) + 1,
+                "bbox": [float(x0 * sx), float(y0 * sy),
+                         float((x1 - x0) * sx), float((y1 - y0) * sy)],
+                "score": float(scores[i]),
+            })
+    payload = json.dumps(detections, indent=2)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write(payload)
+        print(f"{args.out}: {len(detections)} detections over "
+              f"{len(args.images)} pages")
+    else:
+        print(payload)
+    return 0
+
+
+def cmd_eval_funsd(args) -> int:
+    """GeoLayoutLM FUNSD evaluation: preprocessed page jsons + checkpoint
+    → entity-level SER F1 (+ RE link F1), the README metrics (reference
+    geolayoutlm_vie_module.py:478 seqeval f1 over parse_str_from_seq;
+    RE from logits4linking). Feed `preprocess-funsd` output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advancedliteratemachinery_tpu.engine import batches as B
+    from advancedliteratemachinery_tpu.eval.kie_metrics import bio_entity_f1
+    from advancedliteratemachinery_tpu.models.geolayoutlm import (
+        GeoLayoutLM,
+        GeoLayoutLMConfig,
+    )
+
+    cfg = _cfg_overrides(GeoLayoutLMConfig(), args.config_json)
+    model = GeoLayoutLM(cfg)
+    class_names = tuple(args.class_names.split(","))
+    bio_names = ["O"] + [f"{p}-{c}" for c in class_names
+                         for p in ("B", "I")]
+
+    ds = B.VIEPreprocessedDataset(args.data)
+    it = B.vie_batches(ds, batch_size=1, max_seq=args.max_seq,
+                       max_blocks=args.max_blocks, image_size=cfg.image_size,
+                       cls_id=args.cls_id, class_names=class_names,
+                       ordered=True)
+    first = next(it)
+    batches = [first]
+    batches.extend(it)
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           {k: jnp.asarray(v) for k, v in first.items()})
+    if args.torch_ckpt:
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            TORCH_IMPORTERS,
+            load_torch_state_dict,
+        )
+        params = TORCH_IMPORTERS["geolayoutlm_vie"](
+            load_torch_state_dict(args.torch_ckpt),
+            jax.tree.map(np.asarray, variables["params"]))
+    elif args.ckpt:
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            load_params_checkpoint)
+        params = load_params_checkpoint(args.ckpt, variables["params"])
+    else:
+        params = variables["params"]
+
+    fwd = jax.jit(lambda p, b: model.apply({"params": p}, b,
+                                           deterministic=True))
+    gt_seqs, pr_seqs = [], []
+    link_tp = link_fp = link_fn = 0
+    for b in batches:
+        out = fwd(params, {k: jnp.asarray(v) for k, v in b.items()})
+        logits = np.asarray(out["logits4labeling"])[0]
+        labels = b["bio_labels"][0]
+        valid = labels >= 0
+        gt_seqs.append([bio_names[i] for i in labels[valid]])
+        pr_seqs.append([bio_names[i] for i in logits.argmax(-1)[valid]])
+        # RE: block-linking predictions vs el_labels_blk
+        link_logits = np.asarray(out["logits4linking_list"][-1])[0]
+        mask = b["el_label_blk_mask"][0] > 0
+        pred_link = (link_logits > 0) & mask
+        gold_link = (b["el_labels_blk"][0] > 0) & mask
+        link_tp += int((pred_link & gold_link).sum())
+        link_fp += int((pred_link & ~gold_link).sum())
+        link_fn += int((~pred_link & gold_link).sum())
+    ser = bio_entity_f1(gt_seqs, pr_seqs)
+    lp = link_tp / max(link_tp + link_fp, 1)
+    lr = link_tp / max(link_tp + link_fn, 1)
+    re_f1 = 2 * lp * lr / max(lp + lr, 1e-9)
+    print(json.dumps({"ser": ser,
+                      "re": {"precision": lp, "recall": lr, "f1": re_f1},
+                      "pages": len(batches)}, indent=2, default=float))
     return 0
 
 
@@ -1513,6 +1725,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--batch-max-length", type=int, default=25)
     p.add_argument("--charset")
+    p.add_argument("--config-json",
+                   help="model-config field overrides (JSON dict; used "
+                        "by the docs/PARITY.md rehearsals to run the "
+                        "released command line at fixture dims)")
 
     p = sub.add_parser("eval-det",
                        help="COCO-protocol detection mAP from a "
@@ -1521,6 +1737,32 @@ def main(argv=None) -> int:
                                       "xywh, score}] or COCO results file")
     p.add_argument("ground_truth", help="[{image_id, category_id, bbox}] "
                                         "or a full COCO annotation file")
+
+    p = sub.add_parser("layout",
+                       help="VGT layout detection: page images (+ "
+                            "pdf-grid .npz) → detections JSON for "
+                            "eval-det")
+    p.add_argument("images", nargs="+")
+    p.add_argument("--grid-dir", help="dir of pdf-grid .npz word grids "
+                                      "(matched by image stem)")
+    p.add_argument("--torch-ckpt", help="released VGT detectron2 .pth")
+    p.add_argument("--ckpt", help="Orbax checkpoint dir")
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--config-json", help="VGTConfig field overrides")
+    p.add_argument("--cascade-json", help="CascadeConfig field overrides")
+    p.add_argument("--out", help="write detections JSON here")
+
+    p = sub.add_parser("eval-funsd",
+                       help="GeoLayoutLM FUNSD SER/RE F1 over "
+                            "preprocess-funsd output")
+    p.add_argument("data", help="preprocessed page-json dir")
+    p.add_argument("--torch-ckpt")
+    p.add_argument("--ckpt")
+    p.add_argument("--config-json", help="GeoLayoutLMConfig overrides")
+    p.add_argument("--class-names", default="HEADER,QUESTION,ANSWER")
+    p.add_argument("--max-seq", type=int, default=512)
+    p.add_argument("--max-blocks", type=int, default=96)
+    p.add_argument("--cls-id", type=int, default=101)
 
     p = sub.add_parser("ccocr-eval",
                        help="CC-OCR benchmark harness over a predictions "
@@ -1643,6 +1885,7 @@ def main(argv=None) -> int:
             "webrpg-cache": cmd_webrpg_cache, "export": cmd_export,
             "ccocr-eval": cmd_ccocr_eval,
             "ccocr-collect": cmd_ccocr_collect, "eval-det": cmd_eval_det,
+            "layout": cmd_layout, "eval-funsd": cmd_eval_funsd,
             "pdf-grid": cmd_pdf_grid,
             "augment-preview": cmd_augment_preview,
             "serve": cmd_serve,

@@ -511,6 +511,7 @@ def levocr_batches(
     sub_prob: float = 0.2,
     collate: Optional[AlignCollate] = None,
     seed: int = 0,
+    intact_prob: float = 0.0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """LevOCR imitation-learning batches (reference models.py:62
     inject_noise + levt/levenshtein_utils.py supervision):
@@ -539,7 +540,8 @@ def levocr_batches(
         samples = mixer.get_batch()
         images, labels = collate(samples)
         tgt = dictionary.encode(labels)
-        noised = random_delete(rng, tgt, PAD, BOS, EOS)
+        noised = random_delete(rng, tgt, PAD, BOS, EOS,
+                               intact_prob=intact_prob)
         res = ins_del_targets_native(noised, tgt, PAD, UNK)
         if res is None:
             res = ins_del_targets(noised, tgt, PAD, UNK)
@@ -689,12 +691,18 @@ def vie_batches(
     image_size: int = 896,
     cls_id: int = 101,
     seed: int = 0,
+    ordered: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """GeoLayoutLM VIE batches (reference
     lightning_modules/data_modules/vie_dataset.py _getitem_geo): [CLS] +
     word tokens with 4-point boxes, per-token BIO labels (B- on an
     entity's first token, I- on the rest, -100 on specials/pad),
-    block-level linking labels from parse.relations, block ranks."""
+    block-level linking labels from parse.relations, block ranks.
+
+    ordered=True: one deterministic pass over the dataset (evaluation —
+    each page exactly once, last batch repeats the final page to fill),
+    then the iterator STOPS; default is the endless shuffled train
+    stream."""
     import os
 
     from PIL import Image
@@ -702,7 +710,10 @@ def vie_batches(
     rng = np.random.default_rng(seed)
     S, N = max_seq, max_blocks
     n_cls = len(class_names)
+    ordered_pos = 0
     while True:
+        if ordered and ordered_pos >= len(dataset):
+            return
         batch = {
             "image": np.zeros((batch_size, image_size, image_size, 3),
                               np.float32),
@@ -719,7 +730,11 @@ def vie_batches(
             "el_label_blk_mask": np.zeros((batch_size, N, N), np.float32),
         }
         for b in range(batch_size):
-            page = dataset[int(rng.integers(0, len(dataset)))]
+            if ordered:
+                page = dataset[min(ordered_pos, len(dataset) - 1)]
+                ordered_pos += 1
+            else:
+                page = dataset[int(rng.integers(0, len(dataset)))]
             meta = page.get("meta", {})
             # both schemas: ours (width/height) and the reference
             # preprocess.py output (imageSize.{width,height})

