@@ -301,10 +301,17 @@ def cmd_structurize(args) -> int:
         return (np.asarray([[0, 0, w, 0, w, h, 0, h]], np.float32),
                 np.asarray([1.0]), np.asarray([2]))
 
+    formula = None
+    if getattr(args, "formula_onnx", None):
+        from advancedliteratemachinery_tpu.pipelines.modules import (
+            FormulaRecognition)
+        formula = FormulaRecognition.from_onnx(args.formula_onnx)
+
     pipe = DocumentStructurization(
         LayoutAnalysis(whole_page_layout),
         TextDetection(_db_detect_fn(args)),
-        TextRecognition(engine.recognize))
+        TextRecognition(engine.recognize),
+        formula_recognition=formula)
     image = _load_image(args.image)
     out = pipe(image)
     if getattr(args, "visualize", None):
@@ -1618,6 +1625,13 @@ def main(argv=None) -> int:
         p.add_argument("--visualize", metavar="OUT.png",
                        help="write an overlay image (reference DocXChain "
                             "utilities/visualization.py)")
+        if name == "structurize":
+            p.add_argument("--formula-onnx", metavar="DIR",
+                           help="LaTeX-OCR-format ONNX model dir "
+                                "(encoder/decoder/tokenizer[/resizer]) "
+                                "for formula regions — the reference's "
+                                "RapidLatexOCR backend; needs "
+                                "onnxruntime")
 
     p = sub.add_parser("vie",
                        help="key-information extraction (OmniParser VIE) "

@@ -148,12 +148,22 @@ class TableStructureRecognition:
 class FormulaRecognition:
     """Math-formula → LaTeX on detected formula regions (reference
     modules/formula_recognition.py:11 — an ONNX encoder/decoder/resizer
-    trio; here the predictor is injected like every other module, e.g. a
-    jitted image-to-sequence model). `__call__(image)` returns
-    {'latex': str}; `on_regions(image, polygons)` maps each region crop."""
+    trio). Two construction paths, matching the reference's shape:
+    `FormulaRecognition.from_onnx(model_dir)` loads any
+    LaTeX-OCR-format ONNX pair through pipelines/latex_ocr.py (the
+    DEFAULT backend; needs onnxruntime, clear error when absent), or
+    inject any callable (e.g. a jitted image-to-sequence model).
+    `__call__(image)` returns {'latex': str}; `on_regions(image,
+    polygons)` maps each region crop."""
 
     def __init__(self, latex_fn: Callable[[np.ndarray], str]):
         self.latex_fn = latex_fn
+
+    @classmethod
+    def from_onnx(cls, model_dir: str, **kw) -> "FormulaRecognition":
+        from advancedliteratemachinery_tpu.pipelines.latex_ocr import (
+            LatexOcrOnnx)
+        return cls(LatexOcrOnnx.from_dir(model_dir, **kw))
 
     def __call__(self, image: np.ndarray) -> Dict:
         return {"latex": self.latex_fn(np.asarray(image))}
