@@ -1574,7 +1574,8 @@ def cmd_train(args) -> int:
         total_steps=args.steps, log_interval=args.log_interval,
         val_interval=args.val_interval if args.val_data else 0,
         save_interval=args.save_interval, ckpt_dir=args.ckpt_dir,
-        resume=args.resume, seed=args.seed, profile_dir=args.profile)
+        resume=args.resume, seed=args.seed, profile_dir=args.profile,
+        keep_last=args.keep_last, handle_sigterm=not args.no_sigterm)
     result = fit(loss_fn, tx, params, batch_iter, fit_cfg, mesh=mesh,
                  batch_stats=batch_stats,
                  eval_fn=eval_fn if args.val_data else None)
@@ -1692,6 +1693,11 @@ def main(argv=None) -> int:
     p.add_argument("--save-interval", type=int, default=5000)
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--keep-last", type=int, default=3,
+                   help="step_N checkpoints retained (0 = all)")
+    p.add_argument("--no-sigterm", action="store_true",
+                   help="disable the save-and-stop SIGTERM preemption "
+                        "hook (e.g. under debuggers that send SIGTERM)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel axis")
