@@ -101,14 +101,24 @@ def dcn_windowed_pallas_supported(x_shape: Tuple[int, ...], kh: int, kw: int,
                                   itemsize: int = 2) -> bool:
     """Eligibility: stride 1, SAME-size output (the kernel hardcodes
     out_shape == in_shape, so 2*padding must equal dilation*(k-1) on both
-    axes), H divisible by the band height, and the padded map + scratch
-    fits comfortably in VMEM (~16 MB/core). `itemsize` is the input
-    dtype's byte width (f32 inputs stay resident at 4 B/elt)."""
+    axes), and the padded map + scratch fits comfortably in VMEM
+    (~16 MB/core). `itemsize` is the input dtype's byte width (f32
+    inputs stay resident at 4 B/elt). H need not divide the band height:
+    `dcn_windowed_pallas` zero-pads rows up to the next multiple of 8
+    (zero rows read as zero samples — exactly the reference's
+    outside-image semantics) and slices the extra output rows off.
+
+    Stride 2 stays out of scope by measurement of need, not difficulty:
+    every DCN in the zoo (DLA IDAUp/DLAUp necks for LORE + DocXLayout,
+    pose_dla_dcn.py:345) is stride-1 3×3; the strided variants in the
+    reference op package have no consumer, and the gather formulation
+    already covers them exactly."""
     B, H, W, C = x_shape
-    if stride != 1 or H % 8 != 0:
+    if stride != 1:
         return False
     if 2 * padding != dilation * (kh - 1) or 2 * padding != dilation * (kw - 1):
         return False                       # output size would differ from H,W
+    H = -(-H // 8) * 8                     # row-padded size the kernel sees
     P = radius + padding + 1
     x_bytes = (H + 2 * P) * (W + 2 * P) * C * itemsize   # resident copy
     scratch = 8 * W * (W + 2 * P) * itemsize + 2 * 8 * W * C * 4
@@ -135,12 +145,18 @@ def dcn_windowed_pallas(x, offsets, mask, weights, padding: int = 1,
     K = kh * kw
     TH = 8
     P = radius + padding + 1
+    Hk = -(-H // TH) * TH      # round rows up to the band height; padded
+    if Hk != H:                # rows are zero = outside-image samples, and
+        pad_h = ((0, 0), (0, Hk - H), (0, 0))        # their output rows are
+        offsets = jnp.pad(offsets, pad_h + ((0, 0), (0, 0)))  # sliced off
+        mask = jnp.pad(mask, pad_h + ((0, 0),))
+        x = jnp.pad(x, pad_h + ((0, 0),))
     x_pad = jnp.pad(x, ((0, 0), (P, P), (P, P), (0, 0)))
     offy = offsets[..., 0]
     offx = offsets[..., 1]
     wk = weights.reshape(K, Cin, Cout)
 
-    grid = (B, H // TH)
+    grid = (B, Hk // TH)
     kernel = functools.partial(_kernel, radius=radius, th=TH, kh=kh, kw=kw,
                                padding=padding, dilation=dilation)
     return pl.pallas_call(
@@ -153,7 +169,7 @@ def dcn_windowed_pallas(x, offsets, mask, weights, padding: int = 1,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TH, W, K), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H + 2 * P, W + 2 * P, Cin),
+            pl.BlockSpec((1, Hk + 2 * P, W + 2 * P, Cin),
                          lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, Cin, Cout), lambda b, i: (0, 0, 0),
@@ -161,8 +177,8 @@ def dcn_windowed_pallas(x, offsets, mask, weights, padding: int = 1,
         ],
         out_specs=pl.BlockSpec((1, TH, W, Cout), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hk, W, Cout), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(offy, offx, mask, x_pad, wk)
+    )(offy, offx, mask, x_pad, wk)[:, :H]

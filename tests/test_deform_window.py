@@ -96,6 +96,25 @@ class TestPallasKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_unaligned_rows_parity(self):
+        """H % 8 != 0 (r5 widening): the kernel row-pads to the band
+        height internally and slices — exact vs the gather oracle,
+        including offsets that sample past the true last row (must read
+        outside-image zero, NOT the zero-pad rows' neighbours)."""
+        rng = np.random.default_rng(3)
+        for h in (5, 12, 20):               # 20 = DLA level-5 at 640 px
+            x = jnp.asarray(rng.standard_normal((2, h, 24, 5)), jnp.float32)
+            w = jnp.asarray(rng.standard_normal((3, 3, 5, 7)), jnp.float32)
+            m = jnp.asarray(rng.uniform(0.2, 1, (2, h, 24, 9)), jnp.float32)
+            off = jnp.asarray(
+                np.clip(rng.standard_normal((2, h, 24, 9, 2)) * 2, -2.9, 2.9),
+                jnp.float32)
+            ref = deform_conv2d(x, off, m, w)
+            got = dcn_windowed_pallas(x, off, m, w, radius=3, interpret=True)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
+
     def test_out_of_image_zero_contribution(self, inputs):
         """Offsets pushing every sample far outside → windowed result is
         zero-coefficient, matching the reference's boundary guard."""
@@ -113,8 +132,10 @@ class TestPallasKernel:
                                                  2, 3, 1)   # stride 2
         assert not dcn_windowed_pallas_supported((1, 768, 768, 256), 3, 3,
                                                  1, 3, 1)   # VMEM blowout
-        assert not dcn_windowed_pallas_supported((1, 28, 192, 64), 3, 3, 1,
-                                                 3, 1)      # H % 8 != 0
+        # H % 8 != 0 is eligible since r5 (kernel row-pads internally) —
+        # DLA's smallest pyramid level at 640-px pages is 20 rows
+        assert dcn_windowed_pallas_supported((1, 28, 192, 64), 3, 3, 1,
+                                             3, 1)
         # output size must equal input (kernel hardcodes out_shape):
         # padding=0 or dilation breaking 2p == d(k-1) must be rejected
         assert not dcn_windowed_pallas_supported((8, 192, 192, 64), 3, 3,
