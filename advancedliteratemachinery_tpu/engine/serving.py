@@ -133,7 +133,15 @@ class SpottingDecodeServer:
                  max_steps: int = 32, eos_id: Optional[int] = 1,
                  pad_id: int = 0, logit_mask=None, mask_fn=None,
                  poll_ms: float = 2.0, mem_len: Optional[int] = None,
-                 max_prompt_len: Optional[int] = None):
+                 max_prompt_len: Optional[int] = None,
+                 burst_ticks: int = 1, wave_size: Optional[int] = None):
+        """burst_ticks: decode steps per device dispatch (`lax.scan`
+        inside one jit). Each dispatch costs one host→device→host round
+        trip — a few µs on a local host, tens of ms through a network
+        tunnel — so bursts amortize that fixed cost over T tokens. The
+        price: finished lanes idle until the burst ends and free slots
+        refill only between bursts, so keep T well under the typical
+        sequence length (waste ≤ (T−1)/seq_len of slot ticks)."""
         import jax
         import jax.numpy as jnp
 
@@ -142,6 +150,7 @@ class SpottingDecodeServer:
         self.task = task
         self.n_slots = n_slots
         self.max_steps = max_steps
+        self.burst = max(1, int(burst_ticks))
         self.eos_id = eos_id
         self.pad_id = pad_id
         self.poll = poll_ms / 1000.0
@@ -166,6 +175,10 @@ class SpottingDecodeServer:
         self._state = None
         self._slots: List[Optional[dict]] = [None] * n_slots
         self._pending: "deque" = deque()     # in-flight tick results
+        self._backlog: "deque" = deque()     # validated+padded requests
+        # refill-wave batch (co-queued requests prefilled per dispatch);
+        # fixed so exactly one prefill graph compiles per prompt length
+        self.wave_size = min(n_slots, wave_size or min(n_slots, 16))
         self.stats = {"ticks": 0, "requests": 0, "occupied_slot_ticks": 0}
 
         def _prefill(p, memory, mem_pos, mem_valid, prompt_ids, cache_len):
@@ -181,16 +194,21 @@ class SpottingDecodeServer:
 
         self._prefill = jax.jit(_prefill, static_argnums=(5,))
 
-        def _insert(state, slot, last_logits, caches, mem_kvs, mem_bias, pos0):
+        def _insert(state, slot_idx, last_logits, caches, mem_kvs, mem_bias,
+                    pos0):
+            """Scatter a WAVE of k prefilled requests into slots slot_idx
+            [k] with one dispatch (duplicate indices carry identical rows
+            — the power-of-2 bucketing pads a wave by repeating its last
+            request/slot, so scatter order never matters)."""
             def put(dst, new):
-                return jax.lax.dynamic_update_index_in_dim(dst, new[0], slot, 0)
+                return dst.at[slot_idx].set(new.astype(dst.dtype))
             new_state = dict(state)
             new_state["caches"] = jax.tree.map(put, state["caches"], caches)
             new_state["mem_kvs"] = jax.tree.map(put, state["mem_kvs"], mem_kvs)
             new_state["mem_bias"] = put(state["mem_bias"], mem_bias)
             new_state["last_logits"] = put(state["last_logits"], last_logits)
-            new_state["pos"] = state["pos"].at[slot].set(pos0)
-            new_state["finished"] = state["finished"].at[slot].set(False)
+            new_state["pos"] = state["pos"].at[slot_idx].set(pos0)
+            new_state["finished"] = state["finished"].at[slot_idx].set(False)
             return new_state
 
         self._insert = jax.jit(_insert, donate_argnums=(0,))
@@ -198,28 +216,37 @@ class SpottingDecodeServer:
         def _tick(p, state):
             def run(m):
                 dec = getattr(m, f"{task}_decoder")
-                logits = state["last_logits"]
-                if self._logit_mask is not None:
-                    logits = logits + jnp.asarray(self._logit_mask,
-                                                  logits.dtype)[None]
-                if self._mask_fn is not None:
-                    logits = self._mask_fn(state["pos"], logits)
-                tok = jnp.argmax(logits, -1).astype(jnp.int32)
-                was_finished = state["finished"]
-                finished = (was_finished if eos_id is None
-                            else was_finished | (tok == eos_id))
-                out_tok = jnp.where(was_finished, pad_id, tok)
-                emb, qpos = m.embedding.embed_at(out_tok[:, None], task,
-                                                 state["pos"])
-                new_logits, caches = dec.step_ragged(
-                    emb, qpos, state["caches"], state["pos"],
-                    state["mem_kvs"], state["mem_bias"])
-                cache_len = jax.tree.leaves(state["caches"])[0].shape[1]
-                new_state = dict(state)
-                new_state["caches"] = caches
-                new_state["last_logits"] = new_logits[:, 0]
-                new_state["pos"] = jnp.minimum(state["pos"] + 1, cache_len - 1)
-                new_state["finished"] = finished
+
+                def body(st, _):
+                    logits = st["last_logits"]
+                    if self._logit_mask is not None:
+                        logits = logits + jnp.asarray(self._logit_mask,
+                                                      logits.dtype)[None]
+                    if self._mask_fn is not None:
+                        logits = self._mask_fn(st["pos"], logits)
+                    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+                    was_finished = st["finished"]
+                    finished = (was_finished if eos_id is None
+                                else was_finished | (tok == eos_id))
+                    out_tok = jnp.where(was_finished, pad_id, tok)
+                    emb, qpos = m.embedding.embed_at(out_tok[:, None], task,
+                                                     st["pos"])
+                    new_logits, caches = dec.step_ragged(
+                        emb, qpos, st["caches"], st["pos"],
+                        st["mem_kvs"], st["mem_bias"])
+                    cache_len = jax.tree.leaves(st["caches"])[0].shape[1]
+                    new_st = dict(st)
+                    new_st["caches"] = caches
+                    new_st["last_logits"] = new_logits[:, 0]
+                    new_st["pos"] = jnp.minimum(st["pos"] + 1, cache_len - 1)
+                    new_st["finished"] = finished
+                    return new_st, (out_tok, was_finished)
+
+                # burst_ticks decode steps per dispatch: one host round
+                # trip buys `burst` tokens per live slot ([T, n_slots]
+                # outputs; T=1 == the classic single tick)
+                new_state, (out_tok, was_finished) = jax.lax.scan(
+                    body, state, None, length=self.burst)
                 return new_state, out_tok, was_finished
             return self.model.apply({"params": p}, method=run)
 
@@ -240,9 +267,16 @@ class SpottingDecodeServer:
             self._worker.join(timeout=10)
 
     def submit(self, memory, mem_pos, mem_valid, prompt_ids) -> Future:
+        """memory/mem_pos/mem_valid may be device (jax) arrays — they are
+        consumed on device without a host round trip, so N requests can
+        share one encoder-memory buffer for free. Prompts are host-side
+        (they are stacked per refill wave)."""
+        def keep(a):                        # device arrays stay on device
+            return a if hasattr(a, "sharding") else np.asarray(a)
+
         fut: Future = Future()
-        self._q.put((np.asarray(memory), np.asarray(mem_pos),
-                     np.asarray(mem_valid), np.asarray(prompt_ids), fut))
+        self._q.put((keep(memory), keep(mem_pos), keep(mem_valid),
+                     np.asarray(prompt_ids), fut))
         return fut
 
     # ---- worker ----
@@ -263,13 +297,91 @@ class SpottingDecodeServer:
             "finished": jnp.ones((self.n_slots,), bool),
         }
 
-    def _fill_slots(self) -> bool:
-        """Move queued requests into free slots (prefill + insert).
-        Returns False when the stop sentinel was consumed."""
+    def _prepare(self, req):
+        """Validate + pad one request to the (mem_len, ≤max_prompt_len)
+        bucket; latches budgets from the first request. Returns the
+        padded tuple, or None after set_exception on a budget breach."""
         import numpy as _np
 
-        block = not any(self._slots) and not self._pending
-        while None in self._slots:
+        memory, mem_pos, mem_valid, prompt_ids, fut = req
+        P = prompt_ids.shape[0]
+        S = memory.shape[0]
+        if self.mem_len is None:
+            self.mem_len = S
+        if self.max_prompt_len is None:
+            self.max_prompt_len = P
+        if S > self.mem_len or P > self.max_prompt_len:
+            fut.set_exception(ValueError(
+                f"request (prompt_len={P}, mem_len={S}) exceeds the "
+                f"server budget (max_prompt_len="
+                f"{self.max_prompt_len}, mem_len={self.mem_len}) — "
+                f"construct the server with larger budgets"))
+            return None
+        if S < self.mem_len:
+            # pad to the bucket: zero memory rows with mem_valid=0
+            # become -1e9 attention bias, contributing nothing (device
+            # arrays pad on device — async dispatch, no sync)
+            import jax.numpy as jnp
+
+            padm = self.mem_len - S
+
+            def _pad0(a):
+                xp = jnp if hasattr(a, "sharding") else _np
+                return xp.pad(a, [(0, padm)] + [(0, 0)] * (a.ndim - 1))
+
+            memory, mem_pos, mem_valid = (
+                _pad0(memory), _pad0(mem_pos), _pad0(mem_valid))
+        return memory, mem_pos, mem_valid, prompt_ids, fut
+
+    def _insert_wave(self, wave, slots) -> None:
+        """ONE batched prefill + ONE scatter insert for k co-queued
+        requests (equal prompt lengths). Per-request B=1 prefills cost a
+        dispatch round trip each — with per-instance poly/rec fan-out a
+        65-instance page paid ~260 round trips in refills alone, which
+        through a remote tunnel dwarfed the decode itself. The wave is
+        ALWAYS padded to `wave_size` rows (repeating its last row/slot —
+        identical duplicate scatter rows are order-safe), so exactly ONE
+        prefill/insert graph exists per prompt length: wave sizes depend
+        on arrival timing, and timing-dependent compile variants showed
+        up as multi-second stalls scattered through measured traffic."""
+        import jax.numpy as jnp
+        import numpy as _np
+
+        k = len(wave)
+        kp = self.wave_size
+        rows = list(wave) + [wave[-1]] * (kp - k)
+        slot_idx = _np.asarray(list(slots) + [slots[-1]] * (kp - k),
+                               _np.int32)
+        # device rows stack on device (per-instance requests all reference
+        # ONE encoder-memory buffer — nothing crosses the host link); np
+        # rows stack host-side and upload once as the batch
+        xp = jnp if hasattr(rows[0][0], "sharding") else _np
+        memory = xp.stack([r[0] for r in rows])
+        mem_pos = xp.stack([r[1] for r in rows])
+        mem_valid = xp.stack([r[2] for r in rows])
+        prompts = _np.stack([r[3] for r in rows])
+        P = prompts.shape[1]
+        cache_len = self.max_prompt_len + self.max_steps + 1
+        last_logits, caches, mem_kvs, mem_bias = self._prefill(
+            self.params, memory, mem_pos, mem_valid, prompts, cache_len)
+        if self._state is None:
+            self._state = self._init_state(caches, mem_kvs, mem_bias,
+                                           last_logits)
+        self._state = self._insert(
+            self._state, slot_idx, last_logits, caches, mem_kvs, mem_bias,
+            _np.full((kp,), P, _np.int32))
+        for (_, _, _, _, fut), s in zip(wave, slots):
+            self._slots[s] = {"future": fut, "tokens": [], "steps": 0}
+            self.stats["requests"] += 1
+
+    def _fill_slots(self) -> bool:
+        """Move queued requests into free slots in batched waves.
+        Returns False when the stop sentinel was consumed."""
+        block = (not any(self._slots) and not self._pending
+                 and not self._backlog)
+        # drain the queue into the validated backlog (bounded lookahead
+        # so a flood of requests can't starve the tick loop)
+        while len(self._backlog) < 2 * self.n_slots:
             try:
                 req = self._q.get(block=block, timeout=self.poll)
             except queue.Empty:
@@ -277,77 +389,57 @@ class SpottingDecodeServer:
             block = False
             if req is None:
                 return False
-            memory, mem_pos, mem_valid, prompt_ids, fut = req
-            P = prompt_ids.shape[0]
-            S = memory.shape[0]
-            if self.mem_len is None:
-                self.mem_len = S
-            if self.max_prompt_len is None:
-                self.max_prompt_len = P
-            if S > self.mem_len or P > self.max_prompt_len:
-                fut.set_exception(ValueError(
-                    f"request (prompt_len={P}, mem_len={S}) exceeds the "
-                    f"server budget (max_prompt_len="
-                    f"{self.max_prompt_len}, mem_len={self.mem_len}) — "
-                    f"construct the server with larger budgets"))
-                continue
-            if S < self.mem_len:
-                # pad to the bucket: zero memory rows with mem_valid=0
-                # become -1e9 attention bias, contributing nothing
-                padm = self.mem_len - S
-
-                def _pad0(a):
-                    return _np.pad(a, [(0, padm)] + [(0, 0)] * (a.ndim - 1))
-
-                memory, mem_pos, mem_valid = (
-                    _pad0(memory), _pad0(mem_pos), _pad0(mem_valid))
-            cache_len = self.max_prompt_len + self.max_steps + 1
-            last_logits, caches, mem_kvs, mem_bias = self._prefill(
-                self.params, memory[None], mem_pos[None], mem_valid[None],
-                prompt_ids[None], cache_len)
-            if self._state is None:
-                self._state = self._init_state(caches, mem_kvs, mem_bias,
-                                               last_logits)
-            slot = self._slots.index(None)
-            self._state = self._insert(self._state, slot, last_logits,
-                                       caches, mem_kvs, mem_bias, P)
-            self._slots[slot] = {"future": fut, "tokens": [], "steps": 0}
-            self.stats["requests"] += 1
+            prepared = self._prepare(req)
+            if prepared is not None:
+                self._backlog.append(prepared)
+        # FIFO waves: the longest prefix of the backlog with one prompt
+        # length, up to the free-slot count, inserted in one dispatch pair
+        while None in self._slots and self._backlog:
+            free = [i for i, s in enumerate(self._slots) if s is None]
+            P = self._backlog[0][3].shape[0]
+            wave = []
+            cap = min(len(free), self.wave_size)
+            while (self._backlog and len(wave) < cap
+                   and self._backlog[0][3].shape[0] == P):
+                wave.append(self._backlog.popleft())
+            self._insert_wave(wave, free[:len(wave)])
         return True
 
     def _process(self, out_tok, was_finished, snapshot) -> None:
-        """Host-side result handling for ONE tick (possibly one or two
-        ticks behind the device — see _loop). np.asarray is the sync."""
+        """Host-side result handling for ONE dispatch — `burst` tick rows
+        [T, n_slots] (possibly one or two dispatches behind the device —
+        see _loop). np.asarray is the sync."""
         import numpy as _np
 
         toks = _np.asarray(out_tok)
         fin = _np.asarray(was_finished)
-        self.stats["ticks"] += 1
-        for i, slot in enumerate(snapshot):
-            if slot is None:
-                continue
-            if slot["future"].done():
-                # completed by max_steps while this tick was already in
-                # flight: its lane emitted one extra (discarded) token
-                if self._slots[i] is slot:
-                    self._slots[i] = None
-                continue
-            self.stats["occupied_slot_ticks"] += 1
-            done = False
-            if fin[i]:
-                done = True          # EOS was consumed on a prior tick
-            else:
-                tok = int(toks[i])
-                if self.eos_id is not None and tok == self.eos_id:
-                    done = True
+        for t in range(toks.shape[0]):
+            self.stats["ticks"] += 1
+            for i, slot in enumerate(snapshot):
+                if slot is None:
+                    continue
+                if slot["future"].done():
+                    # completed (by max_steps, or by EOS on an earlier
+                    # burst row) while this lane kept ticking: discard
+                    if self._slots[i] is slot:
+                        self._slots[i] = None
+                    continue
+                self.stats["occupied_slot_ticks"] += 1
+                done = False
+                if fin[t, i]:
+                    done = True      # EOS was consumed on a prior tick
                 else:
-                    slot["tokens"].append(tok)
-                    slot["steps"] += 1
-                    done = slot["steps"] >= self.max_steps
-            if done:
-                slot["future"].set_result(slot["tokens"])
-                if self._slots[i] is slot:      # free (never reused before
-                    self._slots[i] = None       # its tick was processed)
+                    tok = int(toks[t, i])
+                    if self.eos_id is not None and tok == self.eos_id:
+                        done = True
+                    else:
+                        slot["tokens"].append(tok)
+                        slot["steps"] += 1
+                        done = slot["steps"] >= self.max_steps
+                if done:
+                    slot["future"].set_result(slot["tokens"])
+                    if self._slots[i] is slot:  # free (never reused before
+                        self._slots[i] = None   # its dispatch was processed)
 
     def _loop(self) -> None:
         """Tick pipeline, depth 2: the host fetch of tick t's tokens
@@ -358,18 +450,34 @@ class SpottingDecodeServer:
         emit pad tokens into `finished`-masked lanes, so late processing
         never corrupts results (tested vs the synchronous oracle)."""
         while not self._stop.is_set():
-            if not self._fill_slots():
-                return
-            if any(self._slots):
-                self._state, out_tok, was_finished = self._tick(self.params,
-                                                                self._state)
-                self._pending.append((out_tok, was_finished,
-                                      list(self._slots)))
-            # drain: keep at most one tick in flight while slots are live;
-            # drain fully when the pool is idle
-            keep = 1 if any(self._slots) else 0
-            while len(self._pending) > keep:
-                self._process(*self._pending.popleft())
+            try:
+                if not self._fill_slots():
+                    return
+                if any(self._slots):
+                    self._state, out_tok, was_finished = self._tick(
+                        self.params, self._state)
+                    self._pending.append((out_tok, was_finished,
+                                          list(self._slots)))
+                # drain: keep at most one dispatch in flight while slots
+                # are live; drain fully when the pool is idle
+                keep = 1 if any(self._slots) else 0
+                while len(self._pending) > keep:
+                    self._process(*self._pending.popleft())
+            except Exception as e:
+                # fan the failure to every waiter instead of silently
+                # killing the worker (which leaves clients hanging until
+                # their timeout) and reset to an empty pool — the state
+                # may be half-donated mid-dispatch
+                for s in self._slots:
+                    if s is not None and not s["future"].done():
+                        s["future"].set_exception(e)
+                for r in self._backlog:
+                    if not r[4].done():
+                        r[4].set_exception(e)
+                self._slots = [None] * self.n_slots
+                self._backlog.clear()
+                self._pending.clear()
+                self._state = None
 
 
 class SpottingService:
@@ -390,7 +498,8 @@ class SpottingService:
 
     def __init__(self, model, params, n_slots: int = 8,
                  poll_ms: float = 1.0, mem_len: Optional[int] = None,
-                 encode_batch: int = 4, encode_wait_ms: float = 3.0):
+                 encode_batch: int = 4, encode_wait_ms: float = 3.0,
+                 burst_ticks: int = 8):
         """mem_len: encoder-memory budget for mixed page sizes — smaller
         pages are padded into the bucket (SpottingDecodeServer mem_len);
         None serves only the first-seen page shape.
@@ -400,7 +509,12 @@ class SpottingService:
         page cost, and B=1 encodes from N threads serialize on the
         device anyway; batching them amortizes both the forward and the
         dispatch). Pages queue up to encode_wait_ms for co-travelers.
-        Set encode_batch=1 to restore per-page encodes."""
+        Set encode_batch=1 to restore per-page encodes.
+
+        burst_ticks: decode steps per device dispatch on each stage
+        server (see SpottingDecodeServer.burst_ticks) — 8 keeps burst
+        waste under ~6% for the shortest stage (poly_length 16) while
+        amortizing the dispatch round trip 8×."""
         import jax
         import jax.numpy as jnp
 
@@ -446,16 +560,17 @@ class SpottingService:
         self.pt_server = SpottingDecodeServer(
             model, params, "pt", n_slots=n_slots, max_steps=c.pt_seq_length,
             eos_id=v.pt_eos_index, pad_id=v.padding_index, mask_fn=pt_mask,
-            poll_ms=poll_ms, mem_len=mem_len)
+            poll_ms=poll_ms, mem_len=mem_len, burst_ticks=burst_ticks)
         self.poly_server = SpottingDecodeServer(
             model, params, "poly", n_slots=n_slots * 4,
             max_steps=c.poly_length, eos_id=None, pad_id=v.padding_index,
-            logit_mask=poly_mask, poll_ms=poll_ms, mem_len=mem_len)
+            logit_mask=poly_mask, poll_ms=poll_ms, mem_len=mem_len,
+            burst_ticks=burst_ticks)
         self.rec_server = SpottingDecodeServer(
             model, params, "rec", n_slots=n_slots * 4,
             max_steps=c.rec_length, eos_id=v.rec_eos_index,
             pad_id=v.padding_index, logit_mask=rec_mask, poll_ms=poll_ms,
-            mem_len=mem_len)
+            mem_len=mem_len, burst_ticks=burst_ticks)
         self._started = False
 
     def start(self) -> "SpottingService":
@@ -481,17 +596,18 @@ class SpottingService:
             memory, mem_pos, mem_valid = self._encode(self.params,
                                                       image[None])
             fut: Future = Future()
-            fut.set_result((np.asarray(memory)[0], np.asarray(mem_pos)[0],
-                            np.asarray(mem_valid)[0]))
+            # DEVICE slices: the page memory never leaves the chip — the
+            # decode servers prefill from it directly, and every
+            # per-instance poly/rec request references the same buffer
+            # (the old np.asarray here paid a D2H, then one H2D per
+            # instance re-uploading identical megabytes)
+            fut.set_result((memory[0], mem_pos[0], mem_valid[0]))
             return fut
         with self._encode_lock:
             if self._encode_batcher is None:
                 def run(batch):
                     memory, mem_pos, mem_valid = self._encode(self.params,
                                                               batch)
-                    memory, mem_pos, mem_valid = (np.asarray(memory),
-                                                  np.asarray(mem_pos),
-                                                  np.asarray(mem_valid))
                     return [(memory[i], mem_pos[i], mem_valid[i])
                             for i in range(batch.shape[0])]
 
@@ -569,9 +685,10 @@ class SpottingService:
         except Exception as e:                  # pragma: no cover
             result.set_exception(e)
 
-    def __call__(self, images: Sequence[np.ndarray]) -> List[dict]:
+    def __call__(self, images: Sequence[np.ndarray],
+                 timeout: float = 600.0) -> List[dict]:
         futs = [self.submit(im) for im in images]
-        return [f.result(timeout=600) for f in futs]
+        return [f.result(timeout=timeout) for f in futs]
 
     @property
     def occupancy(self) -> dict:

@@ -38,6 +38,9 @@ def main():
                     help="pt_seq_length: 130 = a 64-instance page")
     ap.add_argument("--concurrency", type=int, nargs="*",
                     default=[1, 8, 16, 32])
+    ap.add_argument("--burst", type=int, default=8,
+                    help="decode ticks per device dispatch (lax.scan "
+                         "burst; 1 = classic per-tick host sync)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (CPU smoke / CI)")
     args = ap.parse_args()
@@ -67,14 +70,17 @@ def main():
                         jnp.asarray(images[0])[None], seqs)["params"]
 
     svc = SpottingService(model, params, n_slots=args.slots,
-                          encode_batch=args.encode_batch).start()
+                          encode_batch=args.encode_batch,
+                          burst_ticks=args.burst).start()
     try:
-        svc([images[0]])                    # compile encode/prefill/tick
+        # compile encode/prefill/tick (full-size compiles over a remote
+        # tunnel can exceed the default result timeout)
+        svc([images[0]], timeout=2400)
         for srv in (svc.pt_server, svc.poly_server, svc.rec_server):
             srv.stats.update(ticks=0, requests=0, occupied_slot_ticks=0)
 
         print(f"config: size={args.size} slots={args.slots} "
-              f"encode_batch={args.encode_batch} "
+              f"encode_batch={args.encode_batch} burst={args.burst} "
               f"pt_seq={cfg.pt_seq_length}", flush=True)
         for conc in args.concurrency:
             t0 = time.perf_counter()

@@ -59,8 +59,9 @@ def main():
             params, memory, mem_pos, mem_valid, prompt, cache_len)
         state = srv._init_state(caches, mem_kvs, mem_bias, logits)
         for slot in range(n_slots):
-            state = srv._insert(state, slot, logits, caches, mem_kvs,
-                                mem_bias, 1)
+            state = srv._insert(state, jnp.asarray([slot], jnp.int32),
+                                logits, caches, mem_kvs, mem_bias,
+                                jnp.asarray([1], jnp.int32))
         state, tok, _ = srv._tick(params, state)
         np.asarray(tok)
         t0 = time.perf_counter()

@@ -103,6 +103,33 @@ class TestDecodeServer:
         # 2 slots, 5 requests → slots must have been reused
         assert server.stats["ticks"] >= max(len(e) for e in expected)
 
+    @pytest.mark.parametrize("burst", [3, 8])
+    def test_burst_ticks_match_sequential_decode(self, setup, burst):
+        """burst_ticks > 1 (r5: lax.scan ticks per dispatch, one host
+        round trip per T tokens) must not change a single token vs the
+        sequential oracle — including bursts that do not divide the
+        sequence lengths and slot reuse between bursts."""
+        model, params, make_request, nc = setup
+        max_steps = 10
+        reqs = [make_request(s) for s in (1, 2, 3, 4, 5)]
+        expected = [reference_decode(model, params, r, max_steps)
+                    for r in reqs]
+        server = SpottingDecodeServer(model, params, task="rec", n_slots=2,
+                                      max_steps=max_steps, eos_id=EOS,
+                                      pad_id=PAD, burst_ticks=burst).start()
+        try:
+            futs = []
+            for i, r in enumerate(reqs):
+                futs.append(server.submit(*r))
+                if i == 2:
+                    time.sleep(0.05)
+            results = [f.result(timeout=120) for f in futs]
+        finally:
+            server.stop()
+        for got, want in zip(results, expected):
+            assert got == want, (got, want)
+        assert server.stats["requests"] == 5
+
     def test_mixed_shapes_served_via_bucketing(self, setup):
         """Requests with different (prompt_len, mem_len) — real document
         batches have varying page sizes — decode identically to the
