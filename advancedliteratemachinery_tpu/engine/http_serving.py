@@ -43,6 +43,19 @@ def _decode_image(body: bytes, content_type: str) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
 
 
+class _DeepBacklogServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a listen backlog sized for bursty load.
+
+    The stdlib default ``request_queue_size = 5`` resets connections the
+    moment more than a handful of clients connect in the same accept
+    window (measured: ECONNRESET at 32 concurrent clients,
+    scripts/http_load_probe.py).
+    """
+
+    request_queue_size = 128
+    daemon_threads = True
+
+
 class RecognitionHTTPServer:
     """Serve a recognition engine (and optional detector) over HTTP.
 
@@ -64,8 +77,8 @@ class RecognitionHTTPServer:
         self.batcher = ContinuousBatcher(
             lambda b: engine.recognize(b), batch_size,
             (*self.crop_hw, 3), max_wait_ms=max_wait_ms)
-        self._httpd = ThreadingHTTPServer((host, port),
-                                          self._make_handler())
+        self._httpd = _DeepBacklogServer((host, port),
+                                         self._make_handler())
         self._thread: Optional[threading.Thread] = None
 
     @property
@@ -107,6 +120,11 @@ class RecognitionHTTPServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # _send always emits Content-Length, so HTTP/1.1 keep-alive
+            # is safe: each client holds one connection across requests
+            # instead of a connect/teardown per request.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet; stats live in /v1/stats
                 pass
 

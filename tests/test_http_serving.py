@@ -116,6 +116,36 @@ class TestHTTPServing:
         assert set(w0) == {"text", "confidence", "det_score", "quad"}
         assert np.asarray(w0["quad"]).shape == (4, 2)
 
+    def test_connection_burst_not_reset(self, server):
+        # Regression: stdlib request_queue_size=5 ECONNRESET a 32-client
+        # burst (scripts/http_load_probe.py, round 5). 48 simultaneous
+        # connects must all be served.
+        assert server._httpd.request_queue_size >= 64
+        rng = np.random.default_rng(4)
+        body = _png_bytes(rng)
+        with ThreadPoolExecutor(48) as ex:
+            results = list(ex.map(
+                lambda _: _post(server.port, "/v1/recognize", body),
+                range(48)))
+        assert all(s == 200 for s, _ in results)
+
+    def test_keepalive_connection_reuse(self, server):
+        # HTTP/1.1 + Content-Length on every response → one TCP
+        # connection serves many requests.
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=60)
+        try:
+            for _ in range(3):
+                conn.request("GET", "/healthz")
+                resp = conn.getresponse()
+                assert resp.status == 200
+                assert json.loads(resp.read())["ok"]
+                assert resp.version == 11
+        finally:
+            conn.close()
+
     def test_bad_body_is_a_clean_400(self, server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(server.port, "/v1/recognize", b"not an image")
