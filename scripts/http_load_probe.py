@@ -61,15 +61,28 @@ def main():
     img.save(buf, format="PNG")
     body = buf.getvalue()
 
-    def one() -> float:
+    def one(timeout: float = 120) -> float:
         t0 = time.perf_counter()
         req = urllib.request.Request(
             url, data=body, headers={"Content-Type": "image/png"})
-        with urllib.request.urlopen(req, timeout=120) as resp:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
             json.loads(resp.read())
         return time.perf_counter() - t0
 
-    one()  # compile the batched forward
+    # compile the batched forward: the first compile rides the TPU
+    # tunnel and has been measured anywhere from 90s to >420s depending
+    # on tunnel weather — retry until it lands (the server keeps the
+    # compile going even after the client socket times out)
+    for attempt in range(4):
+        try:
+            one(timeout=600)
+            break
+        except Exception as e:  # noqa: BLE001 - probe resilience
+            print(f"warmup attempt {attempt}: {type(e).__name__}: {e}",
+                  flush=True)
+            time.sleep(10)
+    else:
+        raise SystemExit("warmup never completed")
     print(f"server: variant={args.variant} batch={args.batch_size} "
           f"max_wait={args.max_wait_ms}ms", flush=True)
     try:
