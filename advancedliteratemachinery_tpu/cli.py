@@ -7,6 +7,8 @@ demo.py / example.py — SURVEY.md §1 "public interface") with one
   models                       list registered models/codecs/modules
   recognize IMG [IMG...]       word-crop recognition (mgp_str/lister/levocr)
   read / structurize / table   page pipelines → JSON (+ --visualize)
+  table-html IMG               OmniParser table recognition → HTML
+  table-eval DATA.jsonl        PubTabNet TEDS / S-TEDS evaluation
   convert DOC                  whole image/PDF → per-page JSON
   train MODEL ...              launch/resume training (13 models, one driver)
   eval --data LMDB...          STR benchmark suite (per-set + weighted acc)
@@ -27,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -399,6 +402,121 @@ def cmd_vie(args) -> int:
     entities = decode_vie_outputs(out, v, classes, (orig_h, orig_w))
     print(json.dumps({"image": args.image, "entities": entities},
                      indent=2, default=float))
+    return 0
+
+
+def _build_table_model(args):
+    """OmniParser with the table class band + loaded params → (model,
+    vocab, variables, jitted infer over a resized uint8 page)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advancedliteratemachinery_tpu.data.pubtabnet import N_TABLE_CLASSES
+    from advancedliteratemachinery_tpu.models.omniparser import (
+        OmniParser, OmniParserConfig)
+    from advancedliteratemachinery_tpu.ops.image import normalize_crops
+
+    cfg = OmniParserConfig(swin_variant=args.variant,
+                           vie_categories=N_TABLE_CLASSES)
+    v = cfg.vocab()
+    model = OmniParser(cfg)
+    size = args.image_size
+    seqs0 = {t: jnp.ones((1, 5), jnp.int32) for t in ("pt", "poly", "rec")}
+    variables = jax.jit(lambda k, x: model.init(k, x, seqs0))(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    if args.torch_ckpt:
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            TORCH_IMPORTERS, load_torch_state_dict)
+
+        variables = {"params": TORCH_IMPORTERS["omniparser"](
+            load_torch_state_dict(args.torch_ckpt),
+            jax.tree.map(np.asarray, variables["params"]))}
+    elif args.ckpt:
+        from advancedliteratemachinery_tpu.engine.checkpoint import (
+            load_params_checkpoint)
+
+        variables = load_params_checkpoint(args.ckpt, variables)
+
+    infer = jax.jit(lambda vv, xx: model.apply(
+        vv, normalize_crops(xx, dtype=jnp.float32),
+        method=model.infer_vie))
+
+    def run_page(page_u8: "np.ndarray") -> dict:
+        out = infer(variables, jnp.asarray(page_u8[None]))
+        return {k: np.asarray(val) for k, val in out.items()}
+
+    return model, v, variables, run_page
+
+
+def cmd_table_html(args) -> int:
+    """Table recognition over one table image: OmniParser TR decode →
+    PubTabNet-dialect HTML (the unified third task — the reference repo
+    reports its PubTabNet numbers but ships no TR code; see
+    data/pubtabnet.py for the triplet scheme)."""
+    import numpy as np
+
+    from advancedliteratemachinery_tpu.data.pubtabnet import (
+        decode_table_outputs)
+
+    _, v, _, run_page = _build_table_model(args)
+    image = _load_image(args.image)
+    orig_h, orig_w = image.shape[:2]
+    from PIL import Image as PILImage
+
+    size = args.image_size
+    resized = np.asarray(
+        PILImage.fromarray(image).resize((size, size)), np.uint8)
+    res = decode_table_outputs(run_page(resized), v, (orig_h, orig_w))
+    print(json.dumps({"image": args.image, "html": res["html"],
+                      "structure_html": res["structure_html"],
+                      "cells": res["cells"]}, indent=2, default=float))
+    return 0
+
+
+def cmd_table_eval(args) -> int:
+    """TEDS / S-TEDS over a PubTabNet-format jsonl (the reference's
+    OmniParser README reports PubTabNet TEDS 88.83 / S-TEDS 90.45 for
+    Swin-B; this is the matching evaluation loop: infer_vie per table
+    image → HTML reconstruction → IBM TEDS vs the normalized GT HTML)."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from advancedliteratemachinery_tpu.data.pubtabnet import (
+        PubTabNetDataset, decode_table_outputs)
+    from advancedliteratemachinery_tpu.eval.teds import TEDS
+
+    from advancedliteratemachinery_tpu.codecs.coords import PRINTABLE_CHARS
+
+    ds = PubTabNetDataset(args.data, args.img_root or ".",
+                          chars=PRINTABLE_CHARS,
+                          split=args.split, max_samples=args.limit)
+    if not len(ds):
+        print(json.dumps({"error": "no samples matched",
+                          "data": args.data, "split": args.split}))
+        return 1
+    _, v, _, run_page = _build_table_model(args)
+    teds, steds = TEDS(), TEDS(structure_only=True)
+    size = args.image_size
+    t_sum = s_sum = 0.0
+    per_sample = []
+    for i in range(len(ds)):
+        page = ds[i]
+        path = os.path.join(page["image_folder"], page["file_name"])
+        img = PILImage.open(path).convert("RGB").resize((size, size))
+        res = decode_table_outputs(run_page(np.asarray(img, np.uint8)),
+                                   v, page["orig_size"])
+        t = teds.evaluate(res["html"], page["gt_html"])
+        s = steds.evaluate(res["structure_html"], page["gt_html"])
+        t_sum += t
+        s_sum += s
+        per_sample.append({"file": page["file_name"],
+                           "teds": t, "s_teds": s})
+    n = len(ds)
+    summary = {"samples": n, "teds": t_sum / n, "s_teds": s_sum / n}
+    if args.per_sample:
+        summary["per_sample"] = per_sample
+    print(json.dumps(summary, indent=2, default=float))
     return 0
 
 
@@ -1200,14 +1318,21 @@ def cmd_train(args) -> int:
             OmniParser, OmniParserConfig)
 
         vie = args.task == "vie"
+        table = args.task == "table"
         vie_classes = ()
+        n_categories = 0
         if vie:
             from advancedliteratemachinery_tpu.codecs.coords import (
                 CORD_CLASSES, SROIE_CLASSES)
             vie_classes = (CORD_CLASSES if args.class_set == "cord"
                            else SROIE_CLASSES)
+            n_categories = len(vie_classes)
+        elif table:
+            from advancedliteratemachinery_tpu.data.pubtabnet import (
+                N_TABLE_CLASSES)
+            n_categories = N_TABLE_CLASSES
         cfg = OmniParserConfig(swin_variant=args.variant,
-                               vie_categories=len(vie_classes))
+                               vie_categories=n_categories)
         v = cfg.vocab()
         model = OmniParser(cfg)
         size = args.image_size
@@ -1231,6 +1356,21 @@ def cmd_train(args) -> int:
                 chars=v.chars, group_words=args.class_set == "cord")
             batch_iter = B.omniparser_vie_batches(
                 ds, v, args.batch_size, image_hw=(size, size),
+                poly_pts=cfg.poly_length // 2, rec_length=cfg.rec_length,
+                seed=args.seed)
+        elif table:
+            from advancedliteratemachinery_tpu.data.pubtabnet import (
+                PubTabNetDataset)
+
+            ds = PubTabNetDataset(args.train_data[0], args.img_root or ".",
+                                  chars=v.chars, rec_length=cfg.rec_length)
+            # fit the triplet walk inside the decoder's position budget
+            # (prompt 7 + sos + body <= max_position_embeddings), body a
+            # multiple of 3 so truncation never splits a cell triplet
+            body = min(384, cfg.max_position_embeddings - 8) // 3 * 3
+            batch_iter = B.omniparser_table_batches(
+                ds, v, args.batch_size, image_hw=(size, size),
+                max_pt_body=body,
                 poly_pts=cfg.poly_length // 2, rec_length=cfg.rec_length,
                 seed=args.seed)
         else:
@@ -1646,6 +1786,31 @@ def main(argv=None) -> int:
     p.add_argument("--ckpt")
     p.add_argument("--torch-ckpt")
 
+    p = sub.add_parser("table-html",
+                       help="table recognition (OmniParser TR) → "
+                            "PubTabNet-dialect HTML")
+    p.add_argument("image")
+    p.add_argument("--variant", default="base",
+                   choices=["tiny", "small", "base", "large"])
+    p.add_argument("--image-size", type=int, default=640)
+    p.add_argument("--ckpt")
+    p.add_argument("--torch-ckpt")
+
+    p = sub.add_parser("table-eval",
+                       help="TEDS/S-TEDS over a PubTabNet-format jsonl "
+                            "(OmniParser TR README protocol)")
+    p.add_argument("data", help="PubTabNet jsonl annotations")
+    p.add_argument("--img-root", help="table image directory")
+    p.add_argument("--split", help="filter on the jsonl split field")
+    p.add_argument("--limit", type=int, help="cap evaluated samples")
+    p.add_argument("--per-sample", action="store_true",
+                   help="include per-table scores in the JSON")
+    p.add_argument("--variant", default="base",
+                   choices=["tiny", "small", "base", "large"])
+    p.add_argument("--image-size", type=int, default=640)
+    p.add_argument("--ckpt")
+    p.add_argument("--torch-ckpt")
+
     p = sub.add_parser("convert",
                        help="whole image/PDF document → per-page JSON")
     p.add_argument("document")
@@ -1712,7 +1877,7 @@ def main(argv=None) -> int:
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient accumulation steps (optax.MultiSteps)")
     p.add_argument("--task", default="spotting",
-                   choices=["spotting", "vie", "language", "websrc"],
+                   choices=["spotting", "vie", "table", "language", "websrc"],
                    help="omniparser objective: text spotting (COCO json) "
                         "or KIE over CORD-v2-style page jsons; for "
                         "levocr, 'language' = text-only LevT pretraining "
@@ -1898,6 +2063,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     return {"models": cmd_models, "recognize": cmd_recognize, "read": cmd_read,
             "structurize": cmd_structurize, "table": cmd_table,
+            "table-html": cmd_table_html, "table-eval": cmd_table_eval,
             "vie": cmd_vie,
             "convert": cmd_convert, "bench": cmd_bench, "train": cmd_train,
             "create-lmdb": cmd_create_lmdb, "eval": cmd_eval,

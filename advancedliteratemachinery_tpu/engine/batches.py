@@ -324,6 +324,98 @@ def omniparser_vie_batches(
         yield batch
 
 
+def omniparser_table_batches(
+    dataset,
+    vocab,
+    batch_size: int,
+    image_hw: Tuple[int, int] = (640, 640),
+    max_pt_body: int = 384,
+    poly_pts: int = 16,
+    rec_length: int = 25,
+    seed: int = 0,
+    use_char_window: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """OmniParser TABLE-RECOGNITION batches (the reference repo ships no
+    TR dataset code — OCR/OmniParser/README.md reports the numbers only;
+    see data/pubtabnet.py for the scheme): the pt sequence is the strict
+    (x, y, class) triplet walk over table cells in HTML reading order,
+    class tokens packing (header, row_start, empty, colspan, rowspan),
+    behind the same FIXED full-window prompt the VIE branch uses. Poly
+    and rec stages teacher-force one random NON-EMPTY cell per page
+    (polygon linearly sampled from the cell bbox quad). Output keys match
+    omniparser_batches so the same recipe/fit driver run unchanged."""
+    import os
+
+    from PIL import Image
+
+    from advancedliteratemachinery_tpu.data.pubtabnet import (
+        build_table_pt_sequence,
+    )
+    from advancedliteratemachinery_tpu.data.vie_spotting import quad_polygon
+
+    rng = np.random.default_rng(seed)
+    H, W = image_hw
+    pad = vocab.padding_index
+    nb = vocab.num_bins
+    n_chars = len(vocab.chars)
+    prompt = np.asarray(
+        [0, 0, nb - 1, nb - 1] + ([nb, nb + n_chars] if use_char_window
+                                  else []), np.int64)
+    P = len(prompt)
+    pt_L = P + 1 + max_pt_body + 1
+    poly_L = 2 + 2 * poly_pts
+    rec_L = 2 + 1 + rec_length
+
+    while True:
+        batch = {
+            "images": np.zeros((batch_size, H, W, 3), np.uint8),
+            "pt_in": np.full((batch_size, pt_L - 1), pad, np.int32),
+            "pt_out": np.full((batch_size, pt_L - 1), pad, np.int32),
+            "poly_in": np.full((batch_size, poly_L), pad, np.int32),
+            "poly_out": np.full((batch_size, poly_L), pad, np.int32),
+            "rec_in": np.full((batch_size, rec_L - 1), pad, np.int32),
+            "rec_out": np.full((batch_size, rec_L - 1), pad, np.int32),
+        }
+        for b in range(batch_size):
+            page = dataset[int(rng.integers(0, len(dataset)))]
+            path = os.path.join(page["image_folder"], page["file_name"])
+            try:
+                img = Image.open(path).convert("RGB").resize((W, H))
+                batch["images"][b] = np.asarray(img)
+            except FileNotFoundError:
+                pass
+
+            body = build_table_pt_sequence(page, vocab,
+                                           max_tokens=max_pt_body)
+            full = np.concatenate([prompt, [vocab.pt_sos_index], body])
+            batch["pt_in"][b, : len(full)] = full
+            out = np.concatenate([body, [vocab.pt_eos_index]])
+            batch["pt_out"][b, P: P + len(out)] = out
+
+            h, w = page["orig_size"]
+            filled = [c for c in page["cells"] if not c["empty"]]
+            if filled:
+                cell = filled[int(rng.integers(0, len(filled)))]
+                cx = int(vocab.quantize(cell["center"][0], w))
+                cy = int(vocab.quantize(cell["center"][1], h))
+                poly = quad_polygon(np.asarray(cell["quad"], np.float64),
+                                    pts_per_side=poly_pts // 2)
+                q = np.stack([vocab.quantize(poly[:, 0], w),
+                              vocab.quantize(poly[:, 1], h)],
+                             axis=1).reshape(-1)
+                pfull = np.concatenate([[cx, cy, vocab.poly_sos_index], q])
+                batch["poly_in"][b, : len(pfull) - 1] = pfull[:-1]
+                batch["poly_out"][b, 2: 2 + len(q)] = q
+
+                chars = [nb + int(i) for i in cell["rec"]
+                         if int(i) <= n_chars]
+                tgt = chars[: rec_length - 1] + [vocab.rec_eos_index]
+                rfull = np.concatenate([[cx, cy, vocab.rec_sos_index], tgt])
+                batch["rec_in"][b, : len(rfull) - 1] = rfull[:-1]
+                batch["rec_out"][b, 2: 2 + len(tgt)] = tgt
+        yield batch
+
+
 def omniparser_recipe_u8(model, padding_index: int) -> Tuple[Callable, Any]:
     """omniparser_recipe with uint8 images normalized on device."""
     from advancedliteratemachinery_tpu.engine.train import make_optimizer
